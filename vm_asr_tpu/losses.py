@@ -1,0 +1,167 @@
+"""Loss functions: waveform, multi-resolution STFT, HiFi-GAN adversarial.
+
+Reference: model/loss.py:5-260. All losses are pure jnp functions usable
+inside jitted train steps; the GAN gradient-penalty variant uses jax.grad on
+interpolated inputs instead of torch.autograd.grad.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .dsp import hann_window, stft
+
+
+def mae_loss(output: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(output - target))
+
+
+def mse_loss(output: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.square(output - target))
+
+
+def _stft_mag(
+    x: jnp.ndarray,
+    fft_size: int,
+    hop_size: int,
+    win_length: int,
+    emphasize_high_freq: bool = False,
+) -> jnp.ndarray:
+    """|STFT| with a 1e-7 power floor, shaped (B, frames, freqs)
+    (reference loss.py:17-45; torch.stft defaults: center=True, unnormalised)."""
+    spec = stft(
+        x,
+        n_fft=fft_size,
+        hop_length=hop_size,
+        win_length=win_length,
+        window=hann_window(win_length),
+        center=True,
+        normalized=False,
+    )  # (B, freqs, frames), complex
+    power = jnp.square(spec.real) + jnp.square(spec.imag)
+    mag = jnp.sqrt(jnp.clip(power, 1e-7))
+    mag = jnp.swapaxes(mag, -1, -2)  # (B, frames, freqs)
+    if emphasize_high_freq:
+        freqs = mag.shape[-1]
+        w = jnp.linspace(1.0, 2.0, freqs)
+        # The reference weights axis 1 of its (B, freqs→? ) layout
+        # (loss.py:39-43) — after its transpose, dim 1 is frames-vs-freq per
+        # layout; we weight the frequency axis, which is the stated intent.
+        mag = mag * w[None, None, :]
+    return mag
+
+
+def spectral_convergence_loss(x_mag: jnp.ndarray, y_mag: jnp.ndarray) -> jnp.ndarray:
+    """‖Y − X‖_F / ‖Y‖_F (reference loss.py:48-63)."""
+    return jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)
+
+
+def log_stft_magnitude_loss(x_mag: jnp.ndarray, y_mag: jnp.ndarray) -> jnp.ndarray:
+    """L1 on log magnitudes (reference loss.py:66-81)."""
+    return jnp.mean(jnp.abs(jnp.log(y_mag) - jnp.log(x_mag)))
+
+
+def stft_loss(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    fft_size: int = 1024,
+    shift_size: int = 120,
+    win_length: int = 600,
+    emphasize_high_freq: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    x_mag = _stft_mag(x, fft_size, shift_size, win_length, emphasize_high_freq)
+    y_mag = _stft_mag(y, fft_size, shift_size, win_length, emphasize_high_freq)
+    return (
+        spectral_convergence_loss(x_mag, y_mag),
+        log_stft_magnitude_loss(x_mag, y_mag),
+    )
+
+
+def multi_resolution_stft_loss(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    fft_sizes: Sequence[int] = (1024, 2048, 512),
+    hop_sizes: Sequence[int] = (120, 240, 50),
+    win_lengths: Sequence[int] = (600, 1200, 240),
+    factor_sc: float = 0.5,
+    factor_mag: float = 0.5,
+    emphasize_high_freq: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ParallelWaveGAN-style multi-resolution STFT loss
+    (reference loss.py:137-184; VM-ASR runs factors 0.5/0.5, config.py:179-181).
+    x, y: (B, T) waveforms. Returns (sc_loss, mag_loss) already scaled."""
+    sc_total = 0.0
+    mag_total = 0.0
+    for fs, hs, wl in zip(fft_sizes, hop_sizes, win_lengths):
+        sc, mag = stft_loss(x, y, fs, hs, wl, emphasize_high_freq)
+        sc_total = sc_total + sc
+        mag_total = mag_total + mag
+    k = len(fft_sizes)
+    return factor_sc * sc_total / k, factor_mag * mag_total / k
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN adversarial losses (reference loss.py:188-260)
+# ---------------------------------------------------------------------------
+def discriminator_loss(
+    real_scores: List[jnp.ndarray],
+    gen_scores: List[jnp.ndarray],
+    gan_loss_type: str = "lsgan",
+) -> jnp.ndarray:
+    loss = 0.0
+    for dr, dg in zip(real_scores, gen_scores):
+        if gan_loss_type == "lsgan":
+            loss = loss + jnp.mean((dr - 1.0) ** 2) + jnp.mean(dg**2)
+        else:  # wgan / wgan-gp
+            loss = loss - jnp.mean(dr) + jnp.mean(dg)
+    return loss
+
+
+def generator_adversarial_loss(
+    gen_scores: List[jnp.ndarray], gan_loss_type: str = "lsgan"
+) -> jnp.ndarray:
+    loss = 0.0
+    for dg in gen_scores:
+        if gan_loss_type == "lsgan":
+            loss = loss + jnp.mean((1.0 - dg) ** 2)
+        else:
+            loss = loss - jnp.mean(dg)
+    return loss
+
+
+def feature_matching_loss(fmap_real, fmap_gen) -> jnp.ndarray:
+    """Mean L1 over every layer of every sub-discriminator, normalised by the
+    total layer count (reference loss.py:227-235)."""
+    loss = 0.0
+    count = 0
+    for dr, dg in zip(fmap_real, fmap_gen):
+        for rl, gl in zip(dr, dg):
+            loss = loss + jnp.mean(jnp.abs(rl - gl))
+            count += 1
+    return loss / max(count, 1)
+
+
+def gradient_penalty(
+    disc_apply: Callable[[jnp.ndarray], List[jnp.ndarray]],
+    real: jnp.ndarray,
+    fake: jnp.ndarray,
+    rng: jax.Array,
+    gp_weight: float = 10.0,
+) -> jnp.ndarray:
+    """WGAN-GP penalty on random interpolates (reference loss.py:237-260).
+
+    ``disc_apply`` maps a (B, 1, T) batch to a list of per-discriminator
+    score arrays.
+    """
+    alpha = jax.random.uniform(rng, (real.shape[0],) + (1,) * (real.ndim - 1))
+    interp = alpha * real + (1.0 - alpha) * fake
+
+    def score_sum(x):
+        return sum(jnp.sum(s) for s in disc_apply(x))
+
+    grads = jax.grad(score_sum)(interp)
+    norms = jnp.sqrt(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=1) + 1e-12)
+    return gp_weight * jnp.mean((norms - 1.0) ** 2)

@@ -1,0 +1,240 @@
+"""HiFi-GAN-style discriminators (reference model/discriminator.py:21-313).
+
+- MultiPeriodDiscriminator: 5 period-folded Conv2d stacks (periods 2,3,5,7,11)
+- MultiScaleDiscriminator: 3 Conv1d stacks over AvgPool-downsampled audio
+
+Norm note: the reference's flag is inverted — ``weight_norm if
+use_spectral_norm else spectral_norm`` with default False
+(discriminator.py:37,177) — so the shipped models actually train with
+*spectral* norm everywhere. We preserve that default behaviour
+(``use_spectral_norm=False`` → spectral norm). Spectral-norm power-iteration
+vectors live in the ``batch_stats`` collection (flax.linen.SpectralNorm);
+training steps must pass ``update_stats=True`` and mutate that collection.
+
+Layouts are channels-last: audio (B, T, 1); the period fold produces
+(B, T/p, p, 1) NHWC images so the Conv2d stride runs on the time axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import torch_bias_init, torch_linear_init
+
+
+def _maybe_sn(layer: nn.Module, spectral: bool) -> nn.Module:
+    return nn.SpectralNorm(layer, error_on_non_matrix=False) if spectral else layer
+
+
+class PeriodDiscriminator(nn.Module):
+    """Conv2d stack over the period-folded waveform
+    (reference discriminator.py:21-118)."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    hidden: int = 32
+    use_spectral_norm: bool = False  # False → spectral norm (see module doc)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, update_stats: bool = False):
+        spectral = not self.use_spectral_norm
+        b, t = x.shape[0], x.shape[-1]
+        x = x.reshape(b, t)  # accept (B, T) or (B, 1, T)
+        if t % self.period:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // self.period, self.period, 1)  # NHWC
+
+        pad = (self.kernel_size - 1) // 2
+        widths = [
+            self.hidden,
+            self.hidden * 4,
+            self.hidden * 16,
+            self.hidden * 32,
+            self.hidden * 32,
+        ]
+        strides = [self.stride] * 4 + [1]
+        feature_map: List[jnp.ndarray] = []
+        fan_in = 1
+        for i, (w_out, s) in enumerate(zip(widths, strides)):
+            conv = nn.Conv(
+                w_out,
+                kernel_size=(self.kernel_size, 1),
+                strides=(s, 1),
+                padding=((pad, pad), (0, 0)),
+                kernel_init=torch_linear_init,
+                bias_init=torch_bias_init(fan_in * self.kernel_size),
+                dtype=self.dtype,
+                name=f"conv_{i}",
+            )
+            x = _maybe_sn(conv, spectral)(x, update_stats=update_stats) if spectral \
+                else conv(x)
+            x = nn.gelu(x)
+            feature_map.append(x)
+            fan_in = w_out
+
+        post = nn.Conv(
+            1,
+            kernel_size=(3, 1),
+            strides=(1, 1),
+            padding=((1, 1), (0, 0)),
+            kernel_init=torch_linear_init,
+            bias_init=torch_bias_init(fan_in * 3),
+            dtype=self.dtype,
+            name="conv_post",
+        )
+        x = _maybe_sn(post, spectral)(x, update_stats=update_stats) if spectral \
+            else post(x)
+        feature_map.append(x)
+        return x.reshape(b, -1), feature_map
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """(reference discriminator.py:121-147)."""
+
+    hidden: int = 32
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    use_spectral_norm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        y: jnp.ndarray,
+        y_hat: Optional[jnp.ndarray],
+        update_stats: bool = False,
+    ) -> Tuple[list, list, list, list]:
+        y_real, y_gen, fmap_real, fmap_gen = [], [], [], []
+        for i, p in enumerate(self.periods):
+            disc = PeriodDiscriminator(
+                period=p,
+                hidden=self.hidden,
+                use_spectral_norm=self.use_spectral_norm,
+                dtype=self.dtype,
+                name=f"disc_{i}",
+            )
+            s_r, f_r = disc(y, update_stats=update_stats)
+            y_real.append(s_r)
+            fmap_real.append(f_r)
+            if y_hat is not None:
+                s_g, f_g = disc(y_hat, update_stats=update_stats)
+                y_gen.append(s_g)
+                fmap_gen.append(f_g)
+            else:
+                y_gen.append(0)
+                fmap_gen.append(0)
+        return y_real, y_gen, fmap_real, fmap_gen
+
+
+class ScaleDiscriminator(nn.Module):
+    """Conv1d stack (reference discriminator.py:174-271)."""
+
+    hidden: int = 128
+    use_spectral_norm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, update_stats: bool = False):
+        spectral = not self.use_spectral_norm
+        b = x.shape[0]
+        x = x.reshape(b, x.shape[-1], 1)  # (B, T, C)
+
+        h = self.hidden
+        specs = [
+            # (out, kernel, stride, groups, padding)
+            (h, 15, 1, 1, 7),
+            (h, 41, 4, 4, 20),
+            (h * 2, 41, 4, 16, 20),
+            (h * 4, 41, 4, 16, 20),
+            (h * 8, 41, 4, 16, 20),
+            (h * 8, 41, 4, 16, 20),
+            (h * 8, 5, 1, 1, 2),
+        ]
+        feature_map: List[jnp.ndarray] = []
+        fan_in = 1
+        for i, (w_out, k, s, g, pad) in enumerate(specs):
+            conv = nn.Conv(
+                w_out,
+                kernel_size=(k,),
+                strides=(s,),
+                padding=((pad, pad),),
+                feature_group_count=g,
+                kernel_init=torch_linear_init,
+                bias_init=torch_bias_init(max(fan_in // g, 1) * k),
+                dtype=self.dtype,
+                name=f"conv_{i}",
+            )
+            x = _maybe_sn(conv, spectral)(x, update_stats=update_stats) if spectral \
+                else conv(x)
+            x = nn.gelu(x)
+            feature_map.append(x)
+            fan_in = w_out
+
+        post = nn.Conv(
+            1,
+            kernel_size=(3,),
+            strides=(1,),
+            padding=((1, 1),),
+            kernel_init=torch_linear_init,
+            bias_init=torch_bias_init(fan_in * 3),
+            dtype=self.dtype,
+            name="conv_post",
+        )
+        x = _maybe_sn(post, spectral)(x, update_stats=update_stats) if spectral \
+            else post(x)
+        feature_map.append(x)
+        return x.reshape(b, -1), feature_map
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """3 scales with AvgPool(4, 2, pad 2) between
+    (reference discriminator.py:274-313)."""
+
+    hidden: int = 128
+    use_spectral_norm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        y: jnp.ndarray,
+        y_hat: Optional[jnp.ndarray],
+        update_stats: bool = False,
+    ) -> Tuple[list, list, list, list]:
+        def pool(v):
+            v = v.reshape(v.shape[0], v.shape[-1], 1)
+            v = nn.avg_pool(v, window_shape=(4,), strides=(2,), padding=((2, 2),))
+            return v[..., 0]
+
+        y = y.reshape(y.shape[0], y.shape[-1])
+        if y_hat is not None:
+            y_hat = y_hat.reshape(y_hat.shape[0], y_hat.shape[-1])
+
+        y_real, y_gen, fmap_real, fmap_gen = [], [], [], []
+        for i in range(3):
+            if i != 0:
+                y = pool(y)
+                y_hat = pool(y_hat) if y_hat is not None else None
+            disc = ScaleDiscriminator(
+                hidden=self.hidden,
+                use_spectral_norm=self.use_spectral_norm,
+                dtype=self.dtype,
+                name=f"disc_{i}",
+            )
+            s_r, f_r = disc(y, update_stats=update_stats)
+            y_real.append(s_r)
+            fmap_real.append(f_r)
+            if y_hat is not None:
+                s_g, f_g = disc(y_hat, update_stats=update_stats)
+                y_gen.append(s_g)
+                fmap_gen.append(f_g)
+            else:
+                y_gen.append(0)
+                fmap_gen.append(0)
+        return y_real, y_gen, fmap_real, fmap_gen

@@ -1,0 +1,69 @@
+"""Model factory: config → model instances (reference model/__init__.py:8-67)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from .discriminator import MultiPeriodDiscriminator, MultiScaleDiscriminator
+from .unet import DualStreamInteractiveMambaUNet, MambaUNet
+
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+def get_model(config) -> Dict[str, Any]:
+    """Build {"generator": …, "mpd"?: …, "msd"?: …} from the run config."""
+    v = config.MODEL.VSSM
+    compute_dtype = _DTYPES[config.DTYPE.COMPUTE] if config.AMP_ENABLE else jnp.float32
+
+    kwargs = dict(
+        in_chans=v.IN_CHANS,
+        patch_size=v.PATCH_SIZE,
+        depths=tuple(v.DEPTHS),
+        dims=v.DIMS,
+        ssm_d_state=v.SSM_D_STATE,
+        ssm_ratio=v.SSM_RATIO,
+        ssm_dt_rank=v.SSM_DT_RANK,
+        ssm_act=v.SSM_ACT_LAYER,
+        ssm_conv=v.SSM_CONV,
+        ssm_conv_bias=v.SSM_CONV_BIAS,
+        ssm_drop_rate=v.SSM_DROP_RATE,
+        mlp_ratio=v.MLP_RATIO,
+        mlp_act=v.MLP_ACT_LAYER,
+        mlp_drop_rate=v.MLP_DROP_RATE,
+        gmlp=v.GMLP,
+        drop_path_rate=v.DROP_PATH_RATE,
+        patch_norm=v.PATCH_NORM,
+        patchembed_version=v.PATCHEMBED,
+        output_version=v.OUTPUT,
+        concat_skip=v.CONCAT_SKIP,
+        n_fft=config.DATA.STFT.N_FFT,
+        hop_length=config.DATA.STFT.HOP_LENGTH,
+        win_length=config.DATA.STFT.WIN_LENGTH,
+        spectro_scale=config.DATA.STFT.SCALE,
+        low_freq_replacement=config.TRAIN.LOW_FREQ_REPLACEMENT,
+        dtype=compute_dtype,
+    )
+
+    name = config.MODEL.NAME
+    if name == "DualStreamInteractiveMambaUNet":
+        generator = DualStreamInteractiveMambaUNet(
+            interact=v.INTERACT,
+            phase_decoder_fix=bool(v.get("PHASE_DECODER_FIX", False)),
+            **kwargs,
+        )
+    elif name in ("MambaUNet", "VM_ASR_BASIC"):
+        generator = MambaUNet(**kwargs)
+    else:
+        raise ValueError(f"Unknown model name: {name}")
+
+    models: Dict[str, Any] = {"generator": generator}
+    adv = config.TRAIN.ADVERSARIAL
+    if adv.ENABLE:
+        if "mpd" in adv.DISCRIMINATORS:
+            models["mpd"] = MultiPeriodDiscriminator(hidden=adv.MPD_HIDDEN)
+        if "msd" in adv.DISCRIMINATORS:
+            models["msd"] = MultiScaleDiscriminator()
+    return models
