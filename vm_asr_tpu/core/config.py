@@ -252,6 +252,10 @@ def default_config() -> CfgNode:
     c.TRAIN.ADVERSARIAL.STFT_LOSS.MAG_FACTOR = 0.5
     c.TRAIN.ADVERSARIAL.STFT_LOSS.EMPHASIZE_HIGH_FREQ = False
     c.TRAIN.ADVERSARIAL.MPD_HIDDEN = 32
+    # TPU addition: period list is configurable (reference hardcodes
+    # [2, 3, 5, 7, 11], discriminator.py:123)
+    c.TRAIN.ADVERSARIAL.MPD_PERIODS = [2, 3, 5, 7, 11]
+    c.TRAIN.ADVERSARIAL.MSD_HIDDEN = 128
     c.TRAIN.ADVERSARIAL.FEATURE_LOSS_LAMBDA = 100
     c.TRAIN.ADVERSARIAL.ONLY_FEATURE_LOSS = False
     c.TRAIN.ADVERSARIAL.ONLY_ADVERSARIAL_LOSS = False

@@ -63,7 +63,12 @@ def get_model(config) -> Dict[str, Any]:
     adv = config.TRAIN.ADVERSARIAL
     if adv.ENABLE:
         if "mpd" in adv.DISCRIMINATORS:
-            models["mpd"] = MultiPeriodDiscriminator(hidden=adv.MPD_HIDDEN)
+            models["mpd"] = MultiPeriodDiscriminator(
+                hidden=adv.MPD_HIDDEN,
+                periods=tuple(adv.get("MPD_PERIODS", [2, 3, 5, 7, 11])),
+            )
         if "msd" in adv.DISCRIMINATORS:
-            models["msd"] = MultiScaleDiscriminator()
+            models["msd"] = MultiScaleDiscriminator(
+                hidden=adv.get("MSD_HIDDEN", 128)
+            )
     return models

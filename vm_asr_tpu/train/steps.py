@@ -1,0 +1,185 @@
+"""Jitted train / eval step factories.
+
+Reference execution semantics (trainer/trainer.py:98-438): one generator
+forward per batch; generator losses (L1/L2/multi-res STFT + adversarial +
+feature-matching), discriminator losses on the detached fake; two optimizers
+stepped per batch. On TPU this is a single jitted function — the generator
+update, discriminator update, and all metrics fuse into one XLA program, with
+bf16 compute / fp32 params replacing CUDA AMP + GradScaler (no loss scaling
+needed: bf16 has fp32's exponent range).
+
+Data parallelism: callers shard the batch's leading axis over the mesh's
+``dp`` axis and replicate states; XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import losses as L
+from ..metrics import get_metrics
+
+
+def build_gen_loss_terms(config) -> Tuple[Any, ...]:
+    gen_losses = tuple(config.TRAIN.LOSSES.GEN)
+    adv = config.TRAIN.ADVERSARIAL
+    stft_kwargs = dict(
+        factor_sc=adv.STFT_LOSS.SC_FACTOR,
+        factor_mag=adv.STFT_LOSS.MAG_FACTOR,
+        emphasize_high_freq=adv.STFT_LOSS.EMPHASIZE_HIGH_FREQ,
+    )
+    return gen_losses, stft_kwargs
+
+
+def make_train_step(
+    config,
+    generator,
+    discriminators: Dict[str, Any],
+    metric_names=None,
+) -> Callable:
+    """Returns train_step(gen_state, disc_states, batch, rng) →
+    (gen_state, disc_states, metrics_dict)."""
+    gen_losses, stft_kwargs = build_gen_loss_terms(config)
+    adv_cfg = config.TRAIN.ADVERSARIAL
+    gan = bool(adv_cfg.ENABLE) and len(discriminators) > 0
+    gan_type = adv_cfg.GAN_LOSS_TYPE
+    feat_lambda = adv_cfg.FEATURE_LOSS_LAMBDA
+    only_feat = adv_cfg.ONLY_FEATURE_LOSS
+    only_adv = adv_cfg.ONLY_ADVERSARIAL_LOSS
+    metric_fns = get_metrics(metric_names or config.TRAIN.METRICS)
+    disc_names = tuple(sorted(discriminators.keys()))
+
+    def disc_forward(name, variables, real, fake, update_stats):
+        model = discriminators[name]
+        out = model.apply(
+            variables, real, fake,
+            update_stats=update_stats,
+            mutable=["batch_stats"] if update_stats else False,
+        )
+        if update_stats:
+            (y_r, y_g, f_r, f_g), mut = out
+            return y_r, y_g, f_r, f_g, mut["batch_stats"]
+        y_r, y_g, f_r, f_g = out
+        return y_r, y_g, f_r, f_g, None
+
+    def gen_loss_fn(params, disc_states, x, y, hf, rng):
+        wave_out = generator.apply(
+            {"params": params}, x, hf,
+            deterministic=False, rngs={"dropout": rng},
+        )
+        terms = {}
+        if "l1" in gen_losses:
+            terms["l1"] = L.mae_loss(wave_out, y)
+        if "l2" in gen_losses:
+            terms["l2"] = L.mse_loss(wave_out, y)
+        if "multi_resolution_stft" in gen_losses:
+            sc, mag = L.multi_resolution_stft_loss(
+                wave_out[:, 0, :], y[:, 0, :], **stft_kwargs
+            )
+            terms["multi_resolution_stft"] = sc + mag
+        if gan:
+            for name in disc_names:
+                ds = disc_states[name]
+                variables = {"params": ds.params, "batch_stats": ds.batch_stats}
+                _, y_g, f_r, f_g, _ = disc_forward(
+                    name, variables, y, wave_out, update_stats=False
+                )
+                if not only_feat:
+                    terms[f"adversarial_{name}"] = L.generator_adversarial_loss(
+                        y_g, gan_type
+                    )
+                if not only_adv:
+                    terms[f"features_{name}"] = feat_lambda * L.feature_matching_loss(
+                        f_r, f_g
+                    )
+        total = sum(terms.values())
+        return total, (wave_out, terms)
+
+    def disc_loss_fn(disc_params, name, batch_stats, y, fake):
+        variables = {"params": disc_params, "batch_stats": batch_stats}
+        y_r, y_g, _, _, new_stats = disc_forward(
+            name, variables, y, fake, update_stats=True
+        )
+        return L.discriminator_loss(y_r, y_g, gan_type), new_stats
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(gen_state, disc_states, batch, rng):
+        x, y, hf = batch["wave_input"], batch["wave_target"], batch["highcut"]
+        (g_total, (wave_out, g_terms)), g_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(gen_state.params, disc_states, x, y, hf, rng)
+        gen_state = gen_state.apply_gradients(g_grads)
+
+        metrics = {"total_loss": g_total}
+        metrics.update({f"generator/{k}": v for k, v in g_terms.items()})
+
+        if gan:
+            fake = jax.lax.stop_gradient(wave_out)
+            d_total = 0.0
+            new_disc_states = dict(disc_states)
+            for name in disc_names:
+                ds = disc_states[name]
+                (d_loss, new_stats), d_grads = jax.value_and_grad(
+                    disc_loss_fn, has_aux=True
+                )(ds.params, name, ds.batch_stats, y, fake)
+                new_disc_states[name] = ds.apply_gradients(d_grads, new_stats)
+                metrics[f"discriminator/{name}"] = d_loss
+                d_total = d_total + d_loss
+            disc_states = new_disc_states
+            metrics["total_disc_loss"] = d_total
+
+        out_flat, y_flat = wave_out[:, 0, :], y[:, 0, :]
+        for mname, fn in metric_fns.items():
+            metrics[mname] = fn(out_flat, y_flat, hf=hf)
+        return gen_state, disc_states, metrics
+
+    return train_step
+
+
+def make_eval_step(config, generator, discriminators=None, metric_names=None
+                   ) -> Callable:
+    """Validation step: forward + losses + metrics, no updates
+    (reference trainer.py:224-316)."""
+    gen_losses, stft_kwargs = build_gen_loss_terms(config)
+    metric_fns = get_metrics(metric_names or config.TRAIN.METRICS)
+
+    @jax.jit
+    def eval_step(gen_params, batch):
+        x, y, hf = batch["wave_input"], batch["wave_target"], batch["highcut"]
+        wave_out = generator.apply({"params": gen_params}, x, hf,
+                                   deterministic=True)
+        metrics = {}
+        total = 0.0
+        if "l1" in gen_losses:
+            metrics["generator/l1"] = L.mae_loss(wave_out, y)
+            total = total + metrics["generator/l1"]
+        if "l2" in gen_losses:
+            metrics["generator/l2"] = L.mse_loss(wave_out, y)
+            total = total + metrics["generator/l2"]
+        if "multi_resolution_stft" in gen_losses:
+            sc, mag = L.multi_resolution_stft_loss(
+                wave_out[:, 0, :], y[:, 0, :], **stft_kwargs
+            )
+            metrics["generator/multi_resolution_stft"] = sc + mag
+            total = total + sc + mag
+        metrics["total_loss"] = total
+        out_flat, y_flat = wave_out[:, 0, :], y[:, 0, :]
+        for mname, fn in metric_fns.items():
+            metrics[mname] = fn(out_flat, y_flat, hf=hf)
+        return wave_out, metrics
+
+    return eval_step
+
+
+def make_forward_fn(generator) -> Callable:
+    """Jitted inference forward (used by the tester/inferencer/bench)."""
+
+    @jax.jit
+    def forward(params, x, hf):
+        return generator.apply({"params": params}, x, hf, deterministic=True)
+
+    return forward

@@ -1,0 +1,134 @@
+"""Evaluation engine: chunked batch-1 inference, RTF timing, wav export, CSV.
+
+Reference: trainer/tester.py:16-240 + base/base_tester.py. Behaviour:
+- clips ≤ one segment: single jitted forward, RTF = wall / audio-seconds
+  (with block_until_ready so XLA's async dispatch doesn't fake the timing);
+- longer clips: unfold into SEGMENT-length windows with TEST.OVERLAP-sample
+  overlap, forward each (batched over segments — a TPU improvement over the
+  reference's per-segment Python loop), mean-fold back;
+- saves `_up/_orig/_down` wavs as 16-bit PCM and appends a row to
+  `results_{16,48}kHz.csv` with the reference's exact column order.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.logging import create_logger
+from ..core.tracker import MetricTracker
+from ..data.vctk import save_wav
+from ..dsp import fold_audio, unfold_audio
+from ..metrics import get_metrics
+from .steps import make_forward_fn
+
+CSV_COLUMNS = ["sample_rate", "snr", "lsd", "lsd_hf", "lsd_lf", "rtf", "rtf_reciprocal"]
+
+
+class Tester:
+    def __init__(self, config, generator, gen_params, data_loader, logger=None,
+                 output_dir: Optional[str] = None):
+        self.config = config
+        self.generator = generator
+        self.params = gen_params
+        self.loader = data_loader
+        self.logger = logger or create_logger(config.OUTPUT)
+        # TAG encodes `{input_sr}_{target_sr}` (reference base_tester.py:21-22)
+        parts = config.TAG.split("_")
+        self.input_sr = int(parts[0])
+        self.target_sr = int(parts[1])
+        self.num_frames_per_seg = int(config.DATA.SEGMENT * self.target_sr)
+        self.output_dir = output_dir or config.OUTPUT
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.forward = make_forward_fn(generator)
+        self.metric_fns = get_metrics(config.TRAIN.METRICS)
+        self.metrics = MetricTracker()
+
+    def _forward_chunked(self, x: jnp.ndarray, hf: jnp.ndarray) -> jnp.ndarray:
+        """Segment-batched chunked inference (reference tester.py:106-140)."""
+        seg_len = self.num_frames_per_seg
+        overlap = self.config.TEST.OVERLAP
+        t = x.shape[-1]
+        if t <= seg_len:
+            return self.forward(self.params, x, hf)
+        segments = unfold_audio(x, seg_len, overlap)  # (1, 1, S, seg)
+        s = segments.shape[2]
+        seg_batch = segments.reshape(s, 1, seg_len)
+        hf_batch = jnp.broadcast_to(hf, (s,))
+        out = self.forward(self.params, seg_batch, hf_batch)
+        out = out.reshape(1, 1, s, seg_len)
+        return fold_audio(out, t, seg_len, overlap)
+
+    def evaluate(self) -> Dict[str, float]:
+        self.metrics.reset()
+        self.logger.info(
+            f"[TEST] {self.input_sr} → {self.target_sr} Hz, "
+            f"{len(self.loader)} files"
+        )
+        for i, batch in enumerate(self.loader):
+            x = jnp.asarray(batch.wave_input)
+            y = jnp.asarray(batch.wave_target)
+            hf = jnp.asarray(batch.highcut)
+            pad = int(batch.pad_lengths[0])
+
+            t0 = time.time()
+            wave_out = self._forward_chunked(x, hf)
+            wave_out.block_until_ready()
+            run_time = time.time() - t0
+            audio_seconds = (x.shape[-1] - pad) / self.config.DATA.TARGET_SR
+            rtf = run_time / max(audio_seconds, 1e-9)
+
+            vals = {
+                name: float(fn(wave_out[:, 0, :], y[:, 0, :], hf=hf))
+                for name, fn in self.metric_fns.items()
+            }
+            vals["rtf"] = rtf
+            vals["rtf_reciprocal"] = 1.0 / rtf
+            for k, v in vals.items():
+                self.metrics.update(k, v)
+
+            if self.config.TEST.SAVE_RESULT:
+                trim = x.shape[-1] - pad if pad else x.shape[-1]
+                stem = batch.names[0].replace(".wav", "")
+                sr = self.config.DATA.TARGET_SR
+                save_wav(os.path.join(self.output_dir, f"{stem}_up.wav"),
+                         np.asarray(wave_out[0, 0, :trim]), sr)
+                save_wav(os.path.join(self.output_dir, f"{stem}_orig.wav"),
+                         np.asarray(y[0, 0, :trim]), sr)
+                save_wav(os.path.join(self.output_dir, f"{stem}_down.wav"),
+                         np.asarray(x[0, 0, :trim]), sr)
+
+            if i % 10 == 0:
+                self.logger.info(
+                    f"[TEST] {i + 1}/{len(self.loader)} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
+                )
+
+        log = self.metrics.result()
+        log["sample_rate"] = self.input_sr
+        self.logger.info(
+            "[TEST] done: " + " ".join(f"{k}={v:.4f}" for k, v in log.items())
+        )
+        csv_name = (
+            "results_16kHz.csv" if self.target_sr == 16000 else "results_48kHz.csv"
+        )
+        self.save_results_to_csv(log, filename=csv_name)
+        return log
+
+    @staticmethod
+    def save_results_to_csv(results: Dict[str, float], filename: str) -> None:
+        """Append a row with the reference's column order
+        (reference tester.py:221-240)."""
+        row = {k: results[k] for k in CSV_COLUMNS}
+        exists = os.path.isfile(filename)
+        with open(filename, "a", newline="") as f:
+            writer = csv.writer(f)
+            if not exists:
+                writer.writerow([k.upper() for k in row])
+            writer.writerow(row.values())
