@@ -79,7 +79,8 @@ def _lr_kernel(a_ref, b_ref, h_ref, carry):
     p, s = _chunk_scan(a, b)
     h = s + p * carry[0][None, :]
     h_ref[0] = h
-    carry[0] = h[-1]
+    chunk = h.shape[0]
+    carry[...] = h[chunk - 1 : chunk, :]  # static slice (Mosaic-lowerable)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "d_tile", "interpret"))
