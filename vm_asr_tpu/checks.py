@@ -1,0 +1,106 @@
+"""Built-in equivalence checks and micro-benchmarks.
+
+The reference bundles a CHECKS suite run via `python model/vmamba.py`
+(vmamba.py:2303-2832: kernel-vs-reference equivalence, cross-scan grad
+checks, VSSBlock latency with triton.testing.do_bench, profiler scaffold).
+TPU equivalent, run via:
+
+    python -m vm_asr_tpu.checks [--skip-bench]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check_scan_equivalence(impl: str) -> None:
+    """Pallas kernel vs jnp associative-scan reference (fwd + grads)
+    (counterpart of check_vssm1_ssoflex_equals_mambassm, vmamba.py:2496)."""
+    from vm_asr_tpu.ops import linear_recurrence, linear_recurrence_ref
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(0.2, 1.0, (4, 777, 96)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((4, 777, 96)).astype(np.float32))
+    h = linear_recurrence(a, b, impl)
+    href = linear_recurrence_ref(a, b)
+    fwd_diff = float(jnp.abs(h - href).max())
+
+    w = jnp.asarray(rng.standard_normal((4, 777, 96)).astype(np.float32))
+    ga, gb = jax.grad(lambda a_, b_: jnp.sum(linear_recurrence(a_, b_, impl) * w),
+                      argnums=(0, 1))(a, b)
+    ga_r, gb_r = jax.grad(lambda a_, b_: jnp.sum(linear_recurrence_ref(a_, b_) * w),
+                          argnums=(0, 1))(a, b)
+    da = float(jnp.abs(ga - ga_r).max())
+    db = float(jnp.abs(gb - gb_r).max())
+    print(f"[scan {impl}] fwd max|Δ|={fwd_diff:.2e} da={da:.2e} db={db:.2e}")
+    assert fwd_diff < 1e-4 and da < 1e-3 and db < 1e-3
+
+
+def check_cross_scan() -> None:
+    """Adjointness + grad test (counterpart of check_csm_triton,
+    vmamba.py:2558-2724)."""
+    from vm_asr_tpu.ops import cross_merge, cross_scan
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 6, 5, 7)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((2, 4, 30, 7)).astype(np.float32))
+    lhs = float(jnp.vdot(cross_scan(x), y))
+    rhs = float(jnp.vdot(x.reshape(2, 30, 7), cross_merge(y, 6, 5)))
+    print(f"[cross-scan] adjointness |Δ|={abs(lhs - rhs):.2e}")
+    assert abs(lhs - rhs) < 1e-3
+    g = jax.grad(lambda v: jnp.sum(cross_scan(v) * y))(x)
+    g_ref = cross_merge(y, 6, 5).reshape(x.shape)
+    print(f"[cross-scan] grad max|Δ|={float(jnp.abs(g - g_ref).max()):.2e}")
+
+
+def bench_vssblock() -> None:
+    """VSSBlock latency (counterpart of check_vssblock, vmamba.py:2745-2793)."""
+    from vm_asr_tpu.core.profiling import benchmark
+    from vm_asr_tpu.models import VSSBlock
+
+    block = VSSBlock(hidden_dim=96, drop_path=0.0)
+    x = jnp.zeros((4, 56, 56, 96), jnp.float32)
+    params = jax.jit(block.init)(jax.random.PRNGKey(0), x)
+    stats = benchmark(lambda p, v: block.apply(p, v), params, x, iters=10)
+    print(f"[vssblock] {stats['seconds_per_call'] * 1e3:.2f} ms/call "
+          f"(B=4, 56×56×96, {jax.default_backend()})")
+
+
+def bench_scan() -> None:
+    from vm_asr_tpu.core.profiling import benchmark
+    from vm_asr_tpu.ops import linear_recurrence, linear_recurrence_ref
+
+    impl = "pallas" if jax.default_backend() != "cpu" else "ref"
+    a = jnp.full((16, 16384, 128), 0.9, jnp.float32)
+    b = jnp.ones((16, 16384, 128), jnp.float32)
+    s1 = benchmark(lambda a_, b_: linear_recurrence(a_, b_, impl), a, b, iters=10)
+    s2 = benchmark(linear_recurrence_ref, a, b, iters=10)
+    n_bytes = 3 * a.size * 4
+    bw = n_bytes / s1["seconds_per_call"] / 1e9
+    print(f"[scan] {impl}: {s1['seconds_per_call'] * 1e3:.2f} ms "
+          f"({bw:.0f} GB/s eff) | xla assoc-scan: "
+          f"{s2['seconds_per_call'] * 1e3:.2f} ms")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("vm_asr_tpu checks")
+    p.add_argument("--skip-bench", action="store_true")
+    args = p.parse_args(argv)
+
+    impl = "pallas" if jax.default_backend() != "cpu" else "interpret"
+    check_scan_equivalence(impl)
+    check_cross_scan()
+    if not args.skip_bench:
+        bench_scan()
+        bench_vssblock()
+    print("all checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,8 +9,11 @@ from .layers import DropPath, Mlp, PatchEmbed, PatchExpanding, PatchMerging
 from .ss2d import SS2D
 from .unet import DualStreamInteractiveMambaUNet, MambaUNet, UNetCore
 from .vss import VSSBlock, VSSLayer
+from .vssm import BackboneVSSM, VSSM
 
 __all__ = [
+    "VSSM",
+    "BackboneVSSM",
     "SS2D",
     "VSSBlock",
     "VSSLayer",
