@@ -21,6 +21,16 @@ import numpy as np
 from scipy.signal import bessel, butter, cheby1, ellip, resample_poly, sosfiltfilt
 
 
+def _native():
+    """C++ fast path (native/src/vm_asr_native.cpp), bit-exact vs scipy."""
+    try:
+        from ..data import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def lowpass(
     audio: np.ndarray,
     highcut: float,
@@ -41,11 +51,22 @@ def lowpass(
         sos = ellip(order, 0.05, 20, wn, btype="lowpass", output="sos")
     else:
         raise ValueError(f"Unknown filter kind: {kind}")
+    nat = _native()
+    if nat is not None and audio.ndim == 1 and sos.shape[0] <= 16:
+        try:
+            return nat.sosfiltfilt(sos, audio.astype(np.float32, copy=False))
+        except ValueError:
+            pass  # too-short input: fall through to scipy's error semantics
     return sosfiltfilt(sos, audio, axis=-1).astype(np.float32, copy=False)
 
 
 def resample_audio(waveform: np.ndarray, sr_org: int, sr_new: int) -> np.ndarray:
     """Polyphase resampling (reference data_loaders.py:338-345, scipy path)."""
+    nat = _native()
+    if nat is not None and waveform.ndim == 1:
+        return nat.resample_poly(
+            waveform.astype(np.float32, copy=False), sr_new, sr_org
+        )
     return resample_poly(waveform, sr_new, sr_org, axis=-1).astype(
         np.float32, copy=False
     )
