@@ -50,7 +50,11 @@ def test_pcm_roundtrip(rng):
 
 def test_degrade_uses_native(rng):
     """The degradation path produces identical results with/without native."""
-    import vm_asr_tpu.dsp.degrade as deg_mod
+    import importlib
+
+    # the package re-exports the `degrade` function under the same name,
+    # so fetch the submodule explicitly
+    deg_mod = importlib.import_module("vm_asr_tpu.dsp.degrade")
 
     x = rng.standard_normal(48000).astype(np.float32)
     fast, hc1 = deg_mod.degrade(x, 48000, 16000, ("cheby1", 6), 1024,
