@@ -45,7 +45,9 @@ def test_pcm_roundtrip(rng):
     x = rng.uniform(-0.9, 0.9, 1000).astype(np.float32)
     pcm = native.f32_to_pcm16(x)
     back = native.pcm16_to_f32(pcm)
-    np.testing.assert_allclose(back, x, atol=1.0 / 32000)
+    # encode scales by 32767, decode by 1/32768 (the reference's own PCM
+    # convention) → ~2^-15 systematic error plus rounding
+    np.testing.assert_allclose(back, x, atol=1.0 / 16000)
 
 
 def test_degrade_uses_native(rng):
