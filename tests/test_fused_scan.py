@@ -1,0 +1,62 @@
+"""Fused selective-scan kernel: forward + all 7 gradients vs the unfused
+reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vm_asr_tpu.ops import selective_scan
+from vm_asr_tpu.ops.selective_scan_fused import selective_scan_fused
+
+
+def _inputs(rng, b=2, k=4, l=70, d=24):
+    u = rng.standard_normal((b, l, k, d)).astype(np.float32)
+    dts = rng.uniform(-1, 1, (b, l, k, d)).astype(np.float32)
+    A = -np.exp(rng.uniform(-1, 1, (k, d, 1))).astype(np.float32)
+    Bs = rng.standard_normal((b, l, k, 1)).astype(np.float32)
+    Cs = rng.standard_normal((b, l, k, 1)).astype(np.float32)
+    Dsk = rng.standard_normal((k, d)).astype(np.float32)
+    bias = rng.uniform(0, 1, (k, d)).astype(np.float32)
+    return [jnp.asarray(x) for x in (u, dts, A, Bs, Cs, Dsk, bias)]
+
+
+def test_fused_forward_matches_ref(rng):
+    args = _inputs(rng)
+    ref = selective_scan(*args, True, impl="ref")
+    got = selective_scan(*args, True, impl="interpret")  # → fused path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_gradients_match_ref(rng):
+    args = _inputs(rng, b=1, k=4, l=40, d=8)
+    w = jnp.asarray(
+        rng.standard_normal((1, 40, 4, 8)).astype(np.float32)
+    )
+
+    def loss(impl):
+        def f(u, dts, A, Bs, Cs, Dsk, bias):
+            y = selective_scan(u, dts, A, Bs, Cs, Dsk, bias, True, impl=impl)
+            return jnp.sum(y * w)
+
+        return f
+
+    g_ref = jax.grad(loss("ref"), argnums=tuple(range(7)))(*args)
+    g_fused = jax.grad(loss("interpret"), argnums=tuple(range(7)))(*args)
+    names = ["u", "dts", "A", "Bs", "Cs", "D", "bias"]
+    for name, a, b_ in zip(names, g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3,
+            err_msg=f"grad mismatch: {name}",
+        )
+
+
+def test_fused_padding_path(rng):
+    """Non-aligned L and D exercise the padding logic."""
+    args = _inputs(rng, b=1, k=4, l=300, d=130)
+    ref = selective_scan(*args, True, impl="ref")
+    got = selective_scan(*args, True, impl="interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -132,13 +132,13 @@ def test_selective_scan_ref_vs_numpy(n, softplus, has_d, has_bias, rng):
 
 @pytest.mark.parametrize("n", [1, 2])
 def test_scan_api_vs_ref(n, rng):
-    """(B,K,L,D)-layout API matches the reference-layout golden path."""
+    """(B,L,K,D)-layout API matches the reference-layout golden path."""
     bsz, k, l, d = 2, 4, 40, 8
-    u = rng.standard_normal((bsz, k, l, d)).astype(np.float32)
-    dts = rng.uniform(-1, 1, (bsz, k, l, d)).astype(np.float32)
+    u = rng.standard_normal((bsz, l, k, d)).astype(np.float32)
+    dts = rng.uniform(-1, 1, (bsz, l, k, d)).astype(np.float32)
     A = -np.exp(rng.uniform(-1, 1, (k, d, n))).astype(np.float32)
-    Bs = rng.standard_normal((bsz, k, l, n)).astype(np.float32)
-    Cs = rng.standard_normal((bsz, k, l, n)).astype(np.float32)
+    Bs = rng.standard_normal((bsz, l, k, n)).astype(np.float32)
+    Cs = rng.standard_normal((bsz, l, k, n)).astype(np.float32)
     Dsk = rng.standard_normal((k, d)).astype(np.float32)
     bias = rng.uniform(0, 1, (k, d)).astype(np.float32)
 
@@ -149,25 +149,25 @@ def test_scan_api_vs_ref(n, rng):
         )
     )
     # reshape to reference layout (B, K*D, L) etc.
-    u_r = u.transpose(0, 1, 3, 2).reshape(bsz, k * d, l)
-    dt_r = dts.transpose(0, 1, 3, 2).reshape(bsz, k * d, l)
+    u_r = u.transpose(0, 2, 3, 1).reshape(bsz, k * d, l)
+    dt_r = dts.transpose(0, 2, 3, 1).reshape(bsz, k * d, l)
     A_r = A.reshape(k * d, n)
-    B_r = Bs.transpose(0, 1, 3, 2)
-    C_r = Cs.transpose(0, 1, 3, 2)
+    B_r = Bs.transpose(0, 2, 3, 1)
+    C_r = Cs.transpose(0, 2, 3, 1)
     ref = numpy_selective_scan(
         u_r, dt_r, A_r, B_r, C_r, Dsk.reshape(-1), bias.reshape(-1), True
-    ).reshape(bsz, k, d, l).transpose(0, 1, 3, 2)
+    ).reshape(bsz, k, d, l).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
 def test_scan_api_pallas_matches_ref_impl(rng):
     bsz, k, l, d = 1, 4, 100, 16
     n = 1
-    u = rng.standard_normal((bsz, k, l, d)).astype(np.float32)
-    dts = rng.uniform(-1, 1, (bsz, k, l, d)).astype(np.float32)
+    u = rng.standard_normal((bsz, l, k, d)).astype(np.float32)
+    dts = rng.uniform(-1, 1, (bsz, l, k, d)).astype(np.float32)
     A = -np.exp(rng.uniform(-1, 1, (k, d, n))).astype(np.float32)
-    Bs = rng.standard_normal((bsz, k, l, n)).astype(np.float32)
-    Cs = rng.standard_normal((bsz, k, l, n)).astype(np.float32)
+    Bs = rng.standard_normal((bsz, l, k, n)).astype(np.float32)
+    Cs = rng.standard_normal((bsz, l, k, n)).astype(np.float32)
     args = [jnp.asarray(x) for x in (u, dts, A, Bs, Cs)]
     ref = selective_scan(*args, None, None, True, impl="ref")
     got = selective_scan(*args, None, None, True, impl="interpret")
@@ -180,16 +180,16 @@ def test_cross_scan_merge(rng):
     b, h, w, c = 2, 4, 6, 3
     x = rng.standard_normal((b, h, w, c)).astype(np.float32)
     xs = cross_scan(jnp.asarray(x))
-    assert xs.shape == (b, 4, h * w, c)
+    assert xs.shape == (b, h * w, 4, c)
     # direction 0 is row-major
-    np.testing.assert_array_equal(np.asarray(xs[:, 0]), x.reshape(b, h * w, c))
+    np.testing.assert_array_equal(np.asarray(xs[:, :, 0]), x.reshape(b, h * w, c))
     # direction 1 is column-major
     np.testing.assert_array_equal(
-        np.asarray(xs[:, 1]), x.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        np.asarray(xs[:, :, 1]), x.transpose(0, 2, 1, 3).reshape(b, h * w, c)
     )
     # flips
     np.testing.assert_array_equal(
-        np.asarray(xs[:, 2]), x.reshape(b, h * w, c)[:, ::-1]
+        np.asarray(xs[:, :, 2]), x.reshape(b, h * w, c)[:, ::-1]
     )
     # merge of the scan of x = 4 * x (each direction contributes x back)
     merged = cross_merge(xs, h, w)
@@ -197,7 +197,7 @@ def test_cross_scan_merge(rng):
         np.asarray(merged), 4.0 * x.reshape(b, h * w, c), rtol=1e-6
     )
     # adjoint test: <cross_scan(x), y> == <x, cross_merge(y)>
-    y = rng.standard_normal((b, 4, h * w, c)).astype(np.float32)
+    y = rng.standard_normal((b, h * w, 4, c)).astype(np.float32)
     lhs = float(jnp.vdot(xs, jnp.asarray(y)))
     rhs = float(
         jnp.vdot(jnp.asarray(x).reshape(b, h * w, c), cross_merge(jnp.asarray(y), h, w))

@@ -10,7 +10,8 @@ model/vmamba.py:696-931, 1377-1552, production forward_type "v5"):
     → cross-merge → LayerNorm → ·SiLU(z) → out_proj
 
 TPU-native layout decisions:
-- NHWC activations; sequences as (B, K, L, D) with channels on lanes.
+- NHWC activations; sequences as (B, L, K, D) with K·D on lanes
+  (a lane multiple at every stage — no channel padding in the scan kernel).
 - The (Δ,B,C) projections are batched matmuls (einsum over K) on the MXU.
 - force_fp32 semantics of the reference's v2/v5 forward types
   (vmamba.py:842-848) live inside `ops.selective_scan`.
@@ -127,7 +128,7 @@ class SS2D(nn.Module):
         xs2d = act(xs2d)
 
         # ---- directional sequences + projections (MXU) ----------------------
-        xs = cross_scan(xs2d)  # (B, K, L, D)
+        xs = cross_scan(xs2d)  # (B, L, K, D) — K·D on lanes
 
         x_proj_w = self.param(
             "x_proj_weight",
@@ -135,14 +136,14 @@ class SS2D(nn.Module):
             (k, r + 2 * n, d_inner),
         )
         x_dbl = jnp.einsum(
-            "bkld,kcd->bklc", xs, x_proj_w.astype(xs.dtype)
-        )  # (B, K, L, R+2N)
+            "blkd,kcd->blkc", xs, x_proj_w.astype(xs.dtype)
+        )  # (B, L, K, R+2N)
         dts, bs, cs = jnp.split(x_dbl, [r, r + n], axis=-1)
 
         dt_w = self.param(
             "dt_projs_weight", _uniform_init(r**-0.5), (k, d_inner, r)
         )
-        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w.astype(dts.dtype))
+        dts = jnp.einsum("blkr,kdr->blkd", dts, dt_w.astype(dts.dtype))
 
         dt_bias = self.param(
             "dt_projs_bias",
@@ -156,7 +157,7 @@ class SS2D(nn.Module):
         y = selective_scan(
             xs, dts, a, bs, cs, d_skip, dt_bias,
             delta_softplus=True, impl=self.scan_impl,
-        )  # (B, K, L, D) in xs.dtype
+        )  # (B, L, K, D) in xs.dtype
 
         y = cross_merge(y, h, w)  # (B, L, D)
 

@@ -84,8 +84,8 @@ def _lr_kernel(a_ref, b_ref, h_ref, carry):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "d_tile", "interpret"))
-def _lr_pallas(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 256,
-               d_tile: int = 256, interpret: bool = False) -> jnp.ndarray:
+def _lr_pallas(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 512,
+               d_tile: int = 128, interpret: bool = False) -> jnp.ndarray:
     """(R, L, D) fp32 → (R, L, D). Pads L to chunk and D to lane multiples."""
     r, l, d = a.shape
     lp = _round_up(l, chunk)

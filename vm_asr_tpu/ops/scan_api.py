@@ -1,9 +1,10 @@
 """Production selective-scan API in TPU-native layout.
 
-The SS2D module feeds ``(B, K, L, D)`` arrays (sequence on sublanes, channels
-on lanes). This wrapper does the elementwise prologue/epilogue in XLA (which
-fuses it with neighbouring ops) and routes the recurrence itself through the
-Pallas kernel:
+The SS2D module feeds ``(B, L, K, D)`` arrays: sequence on sublanes, the K=4
+scan directions and channels together on lanes (K·D is a lane multiple at
+every stage of the production model). This wrapper routes the N=1 production
+case through the fully-fused Pallas kernel; the general-N path does the
+elementwise prologue/epilogue in XLA around the linear-recurrence kernel:
 
     dt  = softplus(dts + dt_bias)                 (fp32)
     a_n = exp(dt * A_n);  b_n = dt * B_n * u
@@ -12,9 +13,8 @@ Pallas kernel:
 
 The reference equivalent is SS2D.forward_corev2 + the CUDA scan
 (vmamba.py:1377-1495, cus/selective_scan.cpp:157-236). VM-ASR's production
-configs use d_state N=1 (config.py:100), which makes the N-loop a single
-iteration — the counterpart of the reference's `ndstate` N=1 specialisation
-(cusndstate/selective_scan_ndstate.cpp:184).
+configs use d_state N=1 (config.py:100) — the counterpart of the reference's
+`ndstate` N=1 specialisation (cusndstate/selective_scan_ndstate.cpp:184).
 """
 
 from __future__ import annotations
@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .linear_recurrence import linear_recurrence
+from .selective_scan_fused import selective_scan_fused
 
 
 def default_impl() -> str:
@@ -34,26 +35,51 @@ def default_impl() -> str:
 
 
 def selective_scan(
-    u: jnp.ndarray,         # (B, K, L, D) — post-conv activations per direction
-    dts: jnp.ndarray,       # (B, K, L, D) — raw Δ before bias/softplus
+    u: jnp.ndarray,         # (B, L, K, D) — post-conv activations per direction
+    dts: jnp.ndarray,       # (B, L, K, D) — raw Δ before bias/softplus
     A: jnp.ndarray,         # (K, D, N)    — negative decay rates
-    Bs: jnp.ndarray,        # (B, K, L, N)
-    Cs: jnp.ndarray,        # (B, K, L, N)
+    Bs: jnp.ndarray,        # (B, L, K, N)
+    Cs: jnp.ndarray,        # (B, L, K, N)
     D_skip: Optional[jnp.ndarray] = None,   # (K, D)
     dt_bias: Optional[jnp.ndarray] = None,  # (K, D)
     delta_softplus: bool = True,
     impl: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Returns y: (B, K, L, D) in the input dtype; scan maths in fp32."""
+    """Returns y: (B, L, K, D) in the input dtype; scan maths in fp32."""
     impl = impl or default_impl()
     in_dtype = u.dtype
-    b, k, l, d = u.shape
+    b, l, k, d = u.shape
     n = A.shape[-1]
+
+    # N=1 production fast path: the fully-fused Pallas kernel
+    # (prologue + scan + epilogue in one HBM pass).
+    if (
+        n == 1
+        and impl in ("pallas", "interpret")
+        and delta_softplus
+        and D_skip is not None
+        and dt_bias is not None
+        # Tiny channel counts (e.g. the output head's K·D = 8) would pad the
+        # lane axis 16×; XLA's associative scan handles those better.
+        and (k * d >= 128 or impl == "interpret")
+    ):
+        y = selective_scan_fused(
+            u.astype(jnp.float32).reshape(b, l, k * d),
+            dts.astype(jnp.float32).reshape(b, l, k * d),
+            Bs[..., 0].astype(jnp.float32),
+            Cs[..., 0].astype(jnp.float32),
+            A[..., 0].astype(jnp.float32).reshape(k * d),
+            dt_bias.astype(jnp.float32).reshape(k * d),
+            D_skip.astype(jnp.float32).reshape(k * d),
+            k,
+            impl == "interpret",
+        )
+        return y.reshape(b, l, k, d).astype(in_dtype)
 
     uf = u.astype(jnp.float32)
     dt = dts.astype(jnp.float32)
     if dt_bias is not None:
-        dt = dt + dt_bias.astype(jnp.float32)[None, :, None, :]
+        dt = dt + dt_bias.astype(jnp.float32)[None, None, :, :]
     if delta_softplus:
         dt = jax.nn.softplus(dt)
 
@@ -61,13 +87,13 @@ def selective_scan(
     dtu = dt * uf
     y = jnp.zeros_like(uf)
     for i in range(n):  # N is tiny (production: 1); unrolled statically
-        a = jnp.exp(dt * Af[None, :, None, :, i])
+        a = jnp.exp(dt * Af[None, None, :, :, i])
         bi = dtu * Bs[..., i : i + 1].astype(jnp.float32)
         h = linear_recurrence(
-            a.reshape(b * k, l, d), bi.reshape(b * k, l, d), impl
-        ).reshape(b, k, l, d)
+            a.reshape(b, l, k * d), bi.reshape(b, l, k * d), impl
+        ).reshape(b, l, k, d)
         y = y + h * Cs[..., i : i + 1].astype(jnp.float32)
 
     if D_skip is not None:
-        y = y + D_skip.astype(jnp.float32)[None, :, None, :] * uf
+        y = y + D_skip.astype(jnp.float32)[None, None, :, :] * uf
     return y.astype(in_dtype)
