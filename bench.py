@@ -37,15 +37,23 @@ def main():
     def forward(params, x, hf):
         return generator.apply({"params": params}, x, hf, deterministic=True)
 
+    @jax.jit
+    def chained(params, x, hf):
+        # Feed the output back as the next input: every iteration is a real,
+        # distinct execution (runtime-level result caching can't short-cut),
+        # like streaming inference.
+        y = forward(params, x, hf)
+        return x + 1e-6 * y
+
     # warmup / compile
-    forward(params, x, hf).block_until_ready()
-    forward(params, x, hf).block_until_ready()
+    chained(params, x, hf).block_until_ready()
+    x = chained(params, x, hf)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(params, x, hf)
-    out.block_until_ready()
+        x = chained(params, x, hf)
+    x.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 
     audio_seconds = config.DATA.SEGMENT

@@ -72,6 +72,7 @@ def main(argv=None):
     np.random.seed(config.SEED)
 
     import jax
+    import jax.numpy as jnp
 
     from .core.checkpoint import CheckpointManager
     from .data import SyntheticVCTK, get_loaders
@@ -86,6 +87,32 @@ def main(argv=None):
             n_items=64, sr=config.DATA.TARGET_SR,
             duration=config.DATA.SEGMENT + 0.05,
         )
+
+    if config.THROUGHPUT_MODE:
+        # The reference left this a TODO (main.py:83); here it measures real
+        # numbers: batched inference RTF and segments/sec on the live backend.
+        from .core.profiling import benchmark
+
+        generator = models["generator"]
+        seg = int(config.DATA.SEGMENT * config.DATA.TARGET_SR)
+        bsz = config.DATA.BATCH_SIZE
+        x = jnp.zeros((bsz, 1, seg), jnp.float32)
+        hf = jnp.full((bsz,), 171, jnp.int32)
+        params = jax.jit(generator.init)(
+            jax.random.PRNGKey(config.SEED), x[:1], hf[:1]
+        )["params"]
+        stats = benchmark(
+            lambda p, v, h: generator.apply({"params": p}, v, h,
+                                            deterministic=True),
+            params, x, hf, iters=10,
+        )
+        segs_per_sec = bsz / stats["seconds_per_call"]
+        logger.info(
+            f"throughput: {segs_per_sec:.1f} segments/s "
+            f"({segs_per_sec * config.DATA.SEGMENT:.0f}x real-time, "
+            f"batch {bsz})"
+        )
+        return 0
 
     if config.INFERENCE_MODE:
         from .train.inferencer import Inferencer
