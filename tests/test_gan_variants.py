@@ -1,0 +1,47 @@
+"""GAN loss variants (wgan/wgan-gp) and SS2D out-norm options."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vm_asr_tpu.models import SS2D, get_model
+from vm_asr_tpu.parallel import make_mesh, shard_batch
+from vm_asr_tpu.train.trainer import Trainer
+
+
+@pytest.mark.parametrize("out_norm", ["none", "softmax", "sigmoid", "dwconv3"])
+def test_ss2d_out_norm_variants(out_norm, rng):
+    m = SS2D(d_model=8, d_state=1, out_norm=out_norm, scan_impl="ref")
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_wgan_gp_train_step(tmp_path):
+    from tests.test_train import make_loaders, tiny_config
+
+    c = tiny_config(tmp_path, gan=True)
+    c.TRAIN.ADVERSARIAL.GAN_LOSS_TYPE = "wgan-gp"
+    c.TRAIN.ADVERSARIAL.MPD_PERIODS = [2]
+    models = get_model(c)
+    train, _ = make_loaders(c, n_items=16)
+    mesh = make_mesh()
+    trainer = Trainer(c, models, train, None, mesh=mesh)
+    batch = next(iter(train))
+    db = shard_batch(
+        {
+            "wave_input": batch.wave_input,
+            "wave_target": batch.wave_target,
+            "highcut": batch.highcut,
+        },
+        mesh,
+    )
+    gen_state, disc_states, m = trainer.train_step(
+        trainer.gen_state, trainer.disc_states, db, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(m["total_loss"]))
+    assert np.isfinite(float(m["total_disc_loss"]))

@@ -77,10 +77,12 @@ class SS2D(nn.Module):
     dt_max: float = 0.1
     dt_init_floor: float = 1e-4
     initialize: str = "v0"
-    # v2-family forward options (reference forward_type tags, vmamba.py:739-769)
+    # v2-family forward options (reference forward_type tags, vmamba.py:739-769).
+    # The dead v0/forwardxv paths (unused by any shipped config) are
+    # deliberately not reproduced.
     disable_z: bool = False
     disable_z_act: bool = False
-    out_norm: str = "ln"  # ln | none | softmax | sigmoid
+    out_norm: str = "ln"  # ln | none | softmax | sigmoid | dwconv3
     k_group: int = 4
     scan_impl: Optional[str] = None  # None → auto by backend
     dtype: Any = jnp.float32
@@ -167,7 +169,16 @@ class SS2D(nn.Module):
             y = jax.nn.softmax(y, axis=1)
         elif self.out_norm == "sigmoid":
             y = jax.nn.sigmoid(y)
-        y = y.reshape(b, h, w, d_inner).astype(x.dtype)
+        y = y.reshape(b, h, w, d_inner)
+        if self.out_norm == "dwconv3":
+            # depthwise 3×3 "norm" variant (reference vmamba.py:748-752)
+            y = nn.Conv(
+                d_inner, kernel_size=(3, 3), padding="SAME",
+                feature_group_count=d_inner, use_bias=False,
+                kernel_init=torch_linear_init, dtype=self.dtype,
+                name="out_norm_dwconv",
+            )(y)
+        y = y.astype(x.dtype)
 
         if z is not None:
             y = y * z

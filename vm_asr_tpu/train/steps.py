@@ -99,12 +99,24 @@ def make_train_step(
         total = sum(terms.values())
         return total, (wave_out, terms)
 
-    def disc_loss_fn(disc_params, name, batch_stats, y, fake):
+    def disc_loss_fn(disc_params, name, batch_stats, y, fake, gp_rng):
         variables = {"params": disc_params, "batch_stats": batch_stats}
         y_r, y_g, _, _, new_stats = disc_forward(
             name, variables, y, fake, update_stats=True
         )
-        return L.discriminator_loss(y_r, y_g, gan_type), new_stats
+        loss = L.discriminator_loss(y_r, y_g, gan_type)
+        if gan_type == "wgan-gp":
+            # Gradient penalty on interpolates (reference trainer.py:374-378 +
+            # loss.py:237-260).
+            def scores(x):
+                out = discriminators[name].apply(variables, x, None,
+                                                 update_stats=False)
+                return out[0]
+
+            loss = loss + L.gradient_penalty(
+                scores, y, fake, gp_rng, gp_weight=adv_cfg.GP_LAMBDA
+            )
+        return loss, new_stats
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(gen_state, disc_states, batch, rng):
@@ -123,9 +135,10 @@ def make_train_step(
             new_disc_states = dict(disc_states)
             for name in disc_names:
                 ds = disc_states[name]
+                gp_rng = jax.random.fold_in(rng, hash(name) % (2**31))
                 (d_loss, new_stats), d_grads = jax.value_and_grad(
                     disc_loss_fn, has_aux=True
-                )(ds.params, name, ds.batch_stats, y, fake)
+                )(ds.params, name, ds.batch_stats, y, fake, gp_rng)
                 new_disc_states[name] = ds.apply_gradients(d_grads, new_stats)
                 metrics[f"discriminator/{name}"] = d_loss
                 d_total = d_total + d_loss
