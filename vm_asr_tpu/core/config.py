@@ -213,6 +213,9 @@ def default_config() -> CfgNode:
     c.MODEL.VSSM.OUTPUT = "v3"
     c.MODEL.VSSM.CONCAT_SKIP = True
     c.MODEL.VSSM.INTERACT = "dual"
+    # TPU addition: rematerialise VSS block activations in backward
+    # (the analogue of the reference's use_checkpoint, vmamba.py:1839-1843)
+    c.MODEL.VSSM.USE_CHECKPOINT = False
 
     # -- training (reference config.py:126-192) -------------------------------
     c.TRAIN = CfgNode()
