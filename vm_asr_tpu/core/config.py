@@ -301,6 +301,10 @@ def default_config() -> CfgNode:
     c.TENSORBOARD.LOG_ITEMS = ["audio", "waveform", "spectogram"]
 
     # TPU-native additions (no reference equivalent) --------------------------
+    # Trace the first N train steps with jax.profiler (0 = off); the trace
+    # lands in <OUTPUT>/profile for TensorBoard/Perfetto (the reference's
+    # torch.profiler scaffold equivalent, vmamba.py:2795-2832).
+    c.PROFILE_STEPS = 0
     c.MESH = CfgNode()
     c.MESH.DP = -1  # -1: all local devices on the data axis
     c.MESH.AXIS_NAMES = ["dp"]

@@ -197,7 +197,14 @@ class Trainer:
         rng = jax.random.PRNGKey(self.config.SEED * 7919 + epoch)
         t0 = time.time()
         n_batches = len(self.train_loader)
+        pending = []  # device-side metric dicts; fetched at epoch end so the
+        #               step pipeline never blocks on host transfers
+        profile_steps = int(self.config.get("PROFILE_STEPS", 0) or 0)
         for i, batch in enumerate(self.train_loader):
+            if profile_steps and i == 1 and epoch == self.start_epoch:
+                jax.profiler.start_trace(
+                    os.path.join(self.config.OUTPUT, "profile")
+                )
             rng, step_rng = jax.random.split(rng)
             device_batch = shard_batch(
                 {
@@ -210,19 +217,24 @@ class Trainer:
             self.gen_state, self.disc_states, metrics = self.train_step(
                 self.gen_state, self.disc_states, device_batch, step_rng
             )
+            pending.append(metrics)
+            if profile_steps and i == profile_steps and epoch == self.start_epoch:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                self.logger.info(
+                    f"profile trace written to {self.config.OUTPUT}/profile"
+                )
             if i % self.config.PRINT_FREQ == 0 or i == n_batches - 1:
                 metrics = jax.device_get(metrics)
-                for k, v in metrics.items():
-                    self.train_metrics.update(k, float(v))
                 self.logger.info(
                     f"Epoch {epoch} [{i + 1}/{n_batches}] "
                     f"loss={float(metrics['total_loss']):.4f} "
                     f"lsd={float(metrics.get('lsd', float('nan'))):.4f} "
                     f"({(time.time() - t0) / (i + 1):.2f}s/it)"
                 )
-            else:
-                for k, v in jax.device_get(metrics).items():
-                    self.train_metrics.update(k, float(v))
+        for metrics in jax.device_get(pending):
+            for k, v in metrics.items():
+                self.train_metrics.update(k, float(v))
         self.writer.set_step(epoch, "train")
         for k, v in self.train_metrics.result().items():
             self.writer.add_scalar(k, v)
