@@ -14,10 +14,9 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -13,8 +13,6 @@ no-op, so headless training has zero extra deps.
 from __future__ import annotations
 
 import time
-from typing import Optional
-
 import numpy as np
 
 

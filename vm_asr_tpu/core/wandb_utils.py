@@ -8,8 +8,6 @@ with a single warning.
 
 from __future__ import annotations
 
-from typing import Optional
-
 
 def init_wandb_run(config, logger=None, resume: bool = False):
     if not config.WANDB.ENABLE:

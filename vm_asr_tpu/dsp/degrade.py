@@ -15,7 +15,7 @@ downsampling.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.signal import bessel, butter, cheby1, ellip, resample_poly, sosfiltfilt

@@ -19,7 +19,6 @@ TPU via XLA.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

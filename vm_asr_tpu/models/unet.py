@@ -31,7 +31,7 @@ Architectural notes (deliberate parity decisions):
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -63,11 +63,13 @@ def selective_scan(
         # lane axis 16×; XLA's associative scan handles those better.
         and (k * d >= 128 or impl == "interpret")
     ):
+        # Activations keep their dtype (bf16 inputs halve HBM traffic); the
+        # kernel upcasts in-register and scans in fp32.
         y = selective_scan_fused(
-            u.astype(jnp.float32).reshape(b, l, k * d),
-            dts.astype(jnp.float32).reshape(b, l, k * d),
-            Bs[..., 0].astype(jnp.float32),
-            Cs[..., 0].astype(jnp.float32),
+            u.reshape(b, l, k * d),
+            dts.reshape(b, l, k * d),
+            Bs[..., 0],
+            Cs[..., 0],
             A[..., 0].astype(jnp.float32).reshape(k * d),
             dt_bias.astype(jnp.float32).reshape(k * d),
             D_skip.astype(jnp.float32).reshape(k * d),

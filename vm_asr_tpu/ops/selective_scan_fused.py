@@ -32,11 +32,9 @@ the op's own inputs, so no extra activation memory.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -63,8 +61,10 @@ def _make_kernel(k_group: int, d_inner: int, d_tile: int):
         def _():
             carry[...] = jnp.zeros_like(carry)
 
-        u = u_ref[0]  # (CHUNK, DT)
-        dt = jax.nn.softplus(dt_ref[0] + bias_ref[0])
+        # Inputs may be bf16 (the model's compute dtype); all scan maths is
+        # fp32 in-register (reference force_fp32, vmamba.py:842-848).
+        u = u_ref[0].astype(jnp.float32)  # (CHUNK, DT)
+        dt = jax.nn.softplus(dt_ref[0].astype(jnp.float32) + bias_ref[0])
         # Select each lane's direction value: lane j in this tile is channel
         # q = d_idx*DT + j with direction k = q // d_inner. One-hot matmul
         # expands (CHUNK, K) → (CHUNK, DT); HIGHEST precision keeps the fp32
@@ -75,9 +75,11 @@ def _make_kernel(k_group: int, d_inner: int, d_tile: int):
         lane_k = lane_q // d_inner  # (1, DT)
         rows_k = jax.lax.broadcasted_iota(jnp.int32, (k_group, 1), 0)
         onehot = (rows_k == lane_k).astype(jnp.float32)  # (K, DT)
-        bvec = jnp.dot(b_ref[0], onehot, preferred_element_type=jnp.float32,
+        bvec = jnp.dot(b_ref[0].astype(jnp.float32), onehot,
+                       preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-        cvec = jnp.dot(c_ref[0], onehot, preferred_element_type=jnp.float32,
+        cvec = jnp.dot(c_ref[0].astype(jnp.float32), onehot,
+                       preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
 
         a = jnp.exp(dt * a_ref[0])  # a_ref holds A = -exp(A_logs)
@@ -86,7 +88,7 @@ def _make_kernel(k_group: int, d_inner: int, d_tile: int):
         h = s + p * carry[0][None, :]
         chunk = h.shape[0]
         carry[...] = h[chunk - 1 : chunk, :]
-        y_ref[0] = cvec * h + dskip_ref[0] * u
+        y_ref[0] = (cvec * h + dskip_ref[0] * u).astype(y_ref.dtype)
 
     return kernel
 
@@ -96,8 +98,11 @@ def _make_kernel(k_group: int, d_inner: int, d_tile: int):
 )
 def _fused_fwd_pallas(u, dts, bs, cs, a_neg, dt_bias, d_skip, k_group,
                       chunk=512, d_tile=128, interpret=False):
-    """u/dts: (B, L, KD) fp32; bs/cs: (B, L, K); params: (KD,)."""
+    """u/dts: (B, L, KD) fp32 or bf16; bs/cs: (B, L, K); params: (KD,) fp32.
+
+    Output dtype follows ``u`` (scan maths itself is always fp32)."""
     bsz, l, kd = u.shape
+    out_dtype = u.dtype
     d_inner = kd // k_group
     lp = _round_up(l, chunk)
     kdp = _round_up(kd, 128)
@@ -129,7 +134,7 @@ def _fused_fwd_pallas(u, dts, bs, cs, a_neg, dt_bias, d_skip, k_group,
             pl.BlockSpec((1, 1, d_tile), lambda r, d, l_: (0, 0, d)),
         ],
         out_specs=pl.BlockSpec((1, chunk, d_tile), lambda r, d, l_: (r, l_, d)),
-        out_shape=jax.ShapeDtypeStruct((bsz, lp, kdp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz, lp, kdp), out_dtype),
         scratch_shapes=[pltpu.VMEM((1, d_tile), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -166,6 +171,14 @@ def _fused_fwd(u, dts, bs, cs, a_neg, dt_bias, d_skip, k_group, interpret):
 
 def _fused_bwd(k_group, interpret, res, dy):
     u, dts, bs, cs, a_neg, dt_bias, d_skip = res
+    in_dtypes = (u.dtype, dts.dtype, bs.dtype, cs.dtype)
+    # All gradient maths in fp32 even for bf16 activations (the counterpart
+    # of the reference's custom_bwd fp32 path).
+    u = u.astype(jnp.float32)
+    dts = dts.astype(jnp.float32)
+    bs = bs.astype(jnp.float32)
+    cs = cs.astype(jnp.float32)
+    dy = dy.astype(jnp.float32)
     impl = "interpret" if interpret else "pallas"
     bsz, l, kd = u.shape
     d = kd // k_group
@@ -204,7 +217,15 @@ def _fused_bwd(k_group, interpret, res, dy):
     d_a_neg = jnp.sum(da * a * dt, axis=(0, 1))
     d_bias = jnp.sum(ddts, axis=(0, 1))
     d_dskip = jnp.sum(dy * u, axis=(0, 1))
-    return du, ddts, dbs, dcs, d_a_neg, d_bias, d_dskip
+    return (
+        du.astype(in_dtypes[0]),
+        ddts.astype(in_dtypes[1]),
+        dbs.astype(in_dtypes[2]),
+        dcs.astype(in_dtypes[3]),
+        d_a_neg,
+        d_bias,
+        d_dskip,
+    )
 
 
 selective_scan_fused.defvjp(_fused_fwd, _fused_bwd)

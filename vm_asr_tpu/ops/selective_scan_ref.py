@@ -19,7 +19,7 @@ composition op, selective_scan_common.h:89-112).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,10 +13,9 @@ schedule; set ``steps_per_epoch=1`` to reproduce epoch-granularity.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 
 

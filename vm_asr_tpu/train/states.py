@@ -2,10 +2,9 @@
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax
-import jax
 import jax.numpy as jnp
 import optax
 

@@ -15,10 +15,9 @@ Data parallelism: callers shard the batch's leading axis over the mesh's
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from .. import losses as L
 from ..metrics import get_metrics

@@ -17,7 +17,6 @@ import os
 import time
 from typing import Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
