@@ -27,6 +27,12 @@ Architectural notes (deliberate parity decisions):
 - Low-frequency replacement copies input bins [0, hf) into the output
   (model.py:447-451) — implemented as a vectorised mask instead of a Python
   loop over the batch.
+- Width caveat (inherent to the architecture, identical in the reference):
+  the v3 output head's PatchExpanding LayerNorms act over dims[0]/2 and
+  dims[0]/4 channels; at dims[0] < 16 those collapse toward sign()/constant
+  behaviour (LayerNorm over 1 channel emits exactly its bias), severing the
+  trunk's influence on the output. Production width (16) is healthy — every
+  parameter group verified live by perturbation probing.
 """
 
 from __future__ import annotations
