@@ -48,7 +48,7 @@ def check_cross_scan() -> None:
 
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((2, 6, 5, 7)).astype(np.float32))
-    y = jnp.asarray(rng.standard_normal((2, 4, 30, 7)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((2, 30, 4, 7)).astype(np.float32))
     lhs = float(jnp.vdot(cross_scan(x), y))
     rhs = float(jnp.vdot(x.reshape(2, 30, 7), cross_merge(y, 6, 5)))
     print(f"[cross-scan] adjointness |Δ|={abs(lhs - rhs):.2e}")
