@@ -117,10 +117,13 @@ def main(argv=None):
     if config.INFERENCE_MODE:
         from .train.inferencer import Inferencer
 
-        params = _load_generator_params(config, models["generator"], logger)
-        inferencer = Inferencer(config, models["generator"], params, logger)
+        # Validate cheap preconditions before the (expensive) model init.
         if args.input is None:
             raise ValueError("--inference requires --input FILE_OR_DIR")
+        if not os.path.exists(args.input):
+            raise FileNotFoundError(f"--input path does not exist: {args.input}")
+        params = _load_generator_params(config, models["generator"], logger)
+        inferencer = Inferencer(config, models["generator"], params, logger)
         if os.path.isdir(args.input):
             inferencer.infer_directory(args.input)
         else:
