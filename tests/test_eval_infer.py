@@ -47,10 +47,9 @@ def test_tester_csv_and_wavs(setup):
     c, gen, params, tmp = setup
     # long clips (2.5 segments) exercise the unfold/fold path
     ds = SyntheticVCTK(n_items=2, sr=16000, duration=0.3, training=False)
+    # training=False → full-length clips padded to a segment multiple, so the
+    # Tester's unfold/fold path is the one the product actually takes.
     sampler = DegradingSampler(ds, c, training=False, input_sr=8000)
-    # eval uses exact_length=False padding; patch sample for multi-segment
-    orig_sample = sampler.sample
-    sampler.sample = lambda i, rng: orig_sample(i, rng, exact_length=False)
     loader = DataPipeline(sampler, batch_size=1, shuffle=False, drop_last=False,
                           num_workers=1)
     out_dir = str(tmp / "results")
@@ -72,6 +71,22 @@ def test_tester_csv_and_wavs(setup):
     assert any(w.endswith("_up.wav") for w in wavs)
     assert any(w.endswith("_orig.wav") for w in wavs)
     assert any(w.endswith("_down.wav") for w in wavs)
+
+
+def test_get_loaders_eval_full_length(setup):
+    """`--eval` must see un-truncated clips padded to a segment *multiple*
+    (reference data_loaders.py:371-389) so the Tester's unfold/fold runs."""
+    from vm_asr_tpu.data.pipeline import get_loaders
+
+    c, gen, params, tmp = setup
+    ds = SyntheticVCTK(n_items=2, sr=16000, duration=0.3, training=False)
+    loader = get_loaders(c, dataset=ds)
+    seg = int(c.DATA.SEGMENT * c.DATA.TARGET_SR)
+    batch = next(iter(loader))
+    t = batch.wave_input.shape[-1]
+    # 0.3 s @ 16 kHz = 4800 samples → padded to 3 × 2016-sample segments
+    assert t > seg and t % seg == 0
+    assert batch.wave_target.shape[-1] == t
 
 
 def test_inferencer_file_and_dir(setup, rng):

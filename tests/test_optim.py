@@ -38,6 +38,35 @@ def test_no_decay_mask():
     assert mask["norm"]["scale"] is False  # 1-D param
 
 
+def test_accumulation_schedule_horizon():
+    """With ACCUMULATION_STEPS=k, MultiSteps advances the inner schedule once
+    per k micro-steps — the schedule must be sized in *effective* steps so the
+    cosine still reaches MIN_LR by the end of training."""
+    import jax
+
+    c = default_config()
+    k = 4
+    steps_per_epoch = 8  # micro-steps
+    c.TRAIN.EPOCHS = 10
+    c.TRAIN.WARMUP_EPOCHS = 2
+    c.TRAIN.ACCUMULATION_STEPS = k
+    tx = make_optimizer(c, steps_per_epoch=steps_per_epoch)
+    params = {"w": jnp.ones((3,))}
+    g = {"w": jnp.full((3,), 1.0)}
+    total_micro = c.TRAIN.EPOCHS * steps_per_epoch
+
+    def body(state, _):
+        updates, state = tx.update(g, state, params)
+        return state, jnp.abs(updates["w"]).max()
+
+    _, mags = jax.lax.scan(body, tx.init(params), length=total_micro)
+    # With a constant gradient, adam's |update| ≈ lr. The last effective step
+    # must sit at ≈ MIN_LR; with the (pre-fix) micro-step horizon it would be
+    # stuck mid-cosine at ~5e-4.
+    final = float(mags[-1])
+    assert final < 3 * c.TRAIN.MIN_LR, final
+
+
 def test_accumulation_wrapper():
     c = default_config()
     c.TRAIN.ACCUMULATION_STEPS = 2

@@ -108,6 +108,41 @@ def test_trainer_end_to_end(tmp_path, gan):
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
 
 
+def test_epoch_end_artifact_logging(tmp_path):
+    """The trainer must dump Input/Output/Target artifacts per
+    TENSORBOARD.LOG_ITEMS at epoch end (reference trainer.py:190-192,
+    304-306, 448-457)."""
+    c = tiny_config(tmp_path, gan=False)
+    c.TENSORBOARD.ENABLE = True
+    models = get_model(c)
+    train, valid = make_loaders(c)
+
+    calls = []
+
+    class RecordingWriter:
+        enabled = True
+
+        def set_step(self, step, mode="train"):
+            calls.append(("set_step", mode))
+
+        def add_scalar(self, *a, **k):
+            pass
+
+        def log_outputs(self, wave_in, wave_out, wave_target, config):
+            assert wave_in.ndim == 1 and wave_out.shape == wave_target.shape
+            assert np.isfinite(wave_out).all()
+            calls.append(("log_outputs", wave_in.shape[0]))
+
+        def flush(self):
+            pass
+
+    trainer = Trainer(c, models, train, valid, mesh=make_mesh(),
+                      writer=RecordingWriter())
+    trainer.train()
+    n_logs = sum(1 for c_, _ in calls if c_ == "log_outputs")
+    assert n_logs == 2  # one train-epoch dump + one valid-epoch dump
+
+
 def test_train_step_decreases_loss(tmp_path):
     """A few steps on one repeated batch should reduce the generator loss."""
     c = tiny_config(tmp_path, gan=False)

@@ -147,11 +147,17 @@ def main(argv=None):
         return 0
 
     # -- training --------------------------------------------------------------
+    from .core.wandb_utils import finish_wandb_run, init_wandb_run
     from .train.trainer import Trainer
 
+    run = init_wandb_run(config, logger,
+                         resume=bool(config.MODEL.RESUME_PATH))
     train_loader, valid_loader = get_loaders(config, logger, dataset=dataset)
     trainer = Trainer(config, models, train_loader, valid_loader, logger)
-    trainer.train()
+    try:
+        trainer.train()
+    finally:
+        finish_wandb_run(run)
     return 0
 
 

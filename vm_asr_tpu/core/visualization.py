@@ -90,6 +90,28 @@ class TensorboardWriter:
         self.add_figure(tag, fig)
         plt.close(fig)
 
+    def log_outputs(self, wave_in: np.ndarray, wave_out: np.ndarray,
+                    wave_target: np.ndarray, config) -> None:
+        """Epoch-end Input/Output/Target artifact dump, keyed on
+        TENSORBOARD.LOG_ITEMS (reference trainer.py:448-457 +
+        visualization.py:94-124; 'spectogram' typo kept for config parity)."""
+        if not self.enabled:
+            return
+        items = list(config.TENSORBOARD.LOG_ITEMS)
+        names = ["Input", "Output", "Target"]
+        waves = [wave_in, wave_out, wave_target]
+        if "audio" in items:
+            for name, wave in zip(names, waves):
+                self.log_audio(name, wave, config.DATA.TARGET_SR)
+        if "waveform" in items:
+            for name, wave in zip(names, waves):
+                self.log_waveform(f"Waveform/{name}", wave)
+        if "spectogram" in items or "spectrogram" in items:
+            s = config.DATA.STFT
+            for name, wave in zip(names, waves):
+                self.log_spectrogram(f"Spectrogram/{name}", wave,
+                                     s.N_FFT, s.HOP_LENGTH, s.WIN_LENGTH)
+
     def log_spectrogram(self, tag: str, wave: np.ndarray, n_fft: int,
                         hop_length: int, win_length: int) -> None:
         """3-panel log2-mag / dB / phase figure

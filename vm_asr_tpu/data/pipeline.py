@@ -39,11 +39,16 @@ class DegradingSampler:
     """Turns dataset items into fixed-length (input, target, highcut) tuples."""
 
     def __init__(self, dataset, config, training: bool = True,
-                 input_sr: Optional[int] = None):
+                 input_sr: Optional[int] = None,
+                 exact_length: Optional[bool] = None):
         self.dataset = dataset
         self.config = config
         self.training = training
         self.input_sr = input_sr
+        # Train: crop/pad to exactly one segment. Eval: pad to a segment
+        # *multiple* and keep the full clip — the Tester chunks it via
+        # unfold/fold (reference data_loaders.py:371-389, tester.py:106-140).
+        self.exact_length = training if exact_length is None else exact_length
         d = config.DATA
         self.target_sr = d.TARGET_SR
         self.num_frames = int(d.SEGMENT * self.target_sr)
@@ -87,7 +92,9 @@ class DegradingSampler:
         return audio, pad
 
     def sample(self, index: int, rng: np.random.Generator,
-               exact_length: bool = True):
+               exact_length: Optional[bool] = None):
+        if exact_length is None:
+            exact_length = self.exact_length
         audio, sr, name = self.dataset.load(index)
         if sr != self.target_sr:
             from ..dsp.degrade import resample_audio

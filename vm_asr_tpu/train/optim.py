@@ -94,7 +94,11 @@ def make_optimizer(
     """AdamW (default) or SGD with the no-decay mask + grad accumulation
     (reference optimizer.py:5-50 + trainer.py:148-156)."""
     t = config.TRAIN
-    sched = schedule or make_schedule(config, steps_per_epoch)
+    # optax.MultiSteps advances the inner schedule once per *effective*
+    # (accumulated) step, so the schedule horizon must be counted in
+    # effective steps or the decay runs ACCUMULATION_STEPS× too slowly.
+    effective_steps = max(1, steps_per_epoch // max(t.ACCUMULATION_STEPS, 1))
+    sched = schedule or make_schedule(config, effective_steps)
     name = t.OPTIMIZER.NAME.lower()
     if name == "adamw":
         tx = optax.adamw(

@@ -132,9 +132,11 @@ def make_train_step(
             fake = jax.lax.stop_gradient(wave_out)
             d_total = 0.0
             new_disc_states = dict(disc_states)
-            for name in disc_names:
+            for di, name in enumerate(disc_names):
                 ds = disc_states[name]
-                gp_rng = jax.random.fold_in(rng, hash(name) % (2**31))
+                # Stable fold index (Python's str hash is PYTHONHASHSEED-
+                # randomised → irreproducible wgan-gp runs across processes).
+                gp_rng = jax.random.fold_in(rng, di)
                 (d_loss, new_stats), d_grads = jax.value_and_grad(
                     disc_loss_fn, has_aux=True
                 )(ds.params, name, ds.batch_stats, y, fake, gp_rng)

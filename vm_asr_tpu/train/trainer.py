@@ -200,6 +200,7 @@ class Trainer:
         pending = []  # device-side metric dicts; fetched at epoch end so the
         #               step pipeline never blocks on host transfers
         profile_steps = int(self.config.get("PROFILE_STEPS", 0) or 0)
+        device_batch = None
         for i, batch in enumerate(self.train_loader):
             if profile_steps and i == 1 and epoch == self.start_epoch:
                 jax.profiler.start_trace(
@@ -238,11 +239,23 @@ class Trainer:
         self.writer.set_step(epoch, "train")
         for k, v in self.train_metrics.result().items():
             self.writer.add_scalar(k, v)
+        # Epoch-end artifact dump on the last batch's first sample
+        # (reference trainer.py:190-192). Costs one extra eval forward.
+        if self.writer.enabled and device_batch is not None:
+            wave_out, _ = self.eval_step(self.gen_state.params, device_batch)
+            self._log_outputs(device_batch, wave_out)
         return self.train_metrics.result()
+
+    def _log_outputs(self, device_batch, wave_out):
+        x = np.asarray(jax.device_get(device_batch["wave_input"]))[0, 0]
+        y = np.asarray(jax.device_get(device_batch["wave_target"]))[0, 0]
+        out = np.asarray(jax.device_get(wave_out))[0, 0]
+        self.writer.log_outputs(x, out, y, self.config)
 
     def _valid_epoch(self, epoch: int) -> Dict[str, float]:
         self.valid_metrics.reset()
         params = self.gen_state.params
+        device_batch, wave_out = None, None
         for batch in self.valid_loader:
             device_batch = shard_batch(
                 {
@@ -252,10 +265,13 @@ class Trainer:
                 },
                 self.mesh,
             )
-            _, metrics = self.eval_step(params, device_batch)
+            wave_out, metrics = self.eval_step(params, device_batch)
             for k, v in jax.device_get(metrics).items():
                 self.valid_metrics.update(k, float(v))
         self.writer.set_step(epoch, "valid")
         for k, v in self.valid_metrics.result().items():
             self.writer.add_scalar(k, v)
+        # Last-batch artifact dump (reference trainer.py:304-306)
+        if self.writer.enabled and device_batch is not None:
+            self._log_outputs(device_batch, wave_out)
         return self.valid_metrics.result()
