@@ -1,0 +1,172 @@
+"""Forward-equivalence parity check vs the reference PyTorch model.
+
+Builds the *reference* model (random init) on CPU, ports its weights into
+this framework's flax model via ``torch_port``, runs both on the same
+waveform, and reports the output error. Run in float64 so the only noise
+left is the fp32 scan interior both implementations share (the reference
+forces fp32 into the scan — vmamba.py:842-848 — and so do our kernels),
+which cleanly separates wiring bugs (errors ~O(1)) from float noise
+(errors ~1e-7).
+
+Usage (needs the reference tree, default /root/reference):
+
+    JAX_PLATFORMS=cpu python -m vm_asr_tpu.compat.parity_check \
+        --model dual --size tiny
+
+Prints one JSON line: {"model": ..., "size": ..., "max_abs": ...,
+"rel": ..., "ref_scale": ..., "n_params": ...}.
+
+The pytest wrapper (tests/test_parity.py) runs this in a subprocess so
+the x64 global flag can't leak into other tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Dict
+
+SIZES = {
+    # n_fft, hop, win, depths, dims, seconds→samples (frames = T/hop + 1)
+    "tiny": dict(n_fft=64, hop_length=16, win_length=64,
+                 depths=(1, 1, 1, 1), dims=8, samples=16 * 63),
+    # production 48 kHz geometry (H=512 freq bins) at 128 frames
+    "prod": dict(n_fft=1024, hop_length=240, win_length=1024,
+                 depths=(2, 2, 2, 2), dims=16, samples=240 * 127),
+}
+
+
+def run_parity(model: str = "dual", size: str = "tiny", seed: int = 0,
+               batch: int = 1) -> Dict[str, float]:
+    import jax
+
+    # Pin to CPU (the axon TPU plugin ignores JAX_PLATFORMS) and enable f64:
+    # the torch oracle is CPU-only and TPUs have no native f64 anyway.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from ..models.unet import DualStreamInteractiveMambaUNet, MambaUNet
+    from .ref_loader import build_reference_model
+    from .torch_port import assert_tree_match, state_dict_to_flax
+
+    cfg = SIZES[size]
+    torch.manual_seed(seed)
+    torch.set_default_dtype(torch.float64)
+
+    common_ref = dict(
+        patch_size=4, in_chans=1, depths=list(cfg["depths"]),
+        dims=[cfg["dims"] * 2**i for i in range(4)],
+        ssm_d_state=1, ssm_ratio=2.0, ssm_dt_rank="auto",
+        ssm_act_layer="silu", ssm_conv=3, ssm_conv_bias=True,
+        # "v5no32" = production v5 with the force-fp32 cast disabled *outside*
+        # the scan; both this framework's kernels and TorchRefScan cast to
+        # fp32 *inside*, so the math is identical while LayerNorms stay f64
+        # (plain v5 crashes torch CPU LayerNorm with mixed f32/f64 dtypes).
+        ssm_drop_rate=0.0, ssm_init="v0", forward_type="v5no32",
+        mlp_ratio=4.0, mlp_act_layer="gelu", mlp_drop_rate=0.0, gmlp=False,
+        drop_path_rate=0.1, patch_norm=True, norm_layer="LN",
+        patchembed_version="v2", downsample_version="v1",
+        upsample_version="v1", output_version="v3", concat_skip=True,
+        n_fft=cfg["n_fft"], hop_length=cfg["hop_length"],
+        win_length=cfg["win_length"], spectro_scale="log2",
+        low_freq_replacement=True,
+    )
+    common_flax = dict(
+        patch_size=4, in_chans=1, depths=cfg["depths"], dims=cfg["dims"],
+        ssm_d_state=1, ssm_ratio=2.0, ssm_dt_rank="auto", ssm_act="silu",
+        ssm_conv=3, ssm_conv_bias=True, ssm_drop_rate=0.0,
+        mlp_ratio=4.0, mlp_act="gelu", mlp_drop_rate=0.0, gmlp=False,
+        drop_path_rate=0.1, patch_norm=True, patchembed_version="v2",
+        output_version="v3", concat_skip=True,
+        n_fft=cfg["n_fft"], hop_length=cfg["hop_length"],
+        win_length=cfg["win_length"], spectro_scale="log2",
+        low_freq_replacement=True, dtype=jnp.float64,
+    )
+
+    if model == "dual":
+        ref = build_reference_model(
+            "DualStreamInteractiveMambaUNet", interact="dual", **common_ref
+        )
+        flax_model = DualStreamInteractiveMambaUNet(interact="dual", **common_flax)
+    elif model == "mamba":
+        ref = build_reference_model("MambaUNet", **common_ref)
+        flax_model = MambaUNet(**common_flax)
+    else:
+        raise ValueError(model)
+
+    n_params = sum(p.numel() for p in ref.parameters())
+
+    t = cfg["samples"]
+    x = torch.randn(batch, 1, t)
+    # Bias the Nyquist FFT coefficient positive in every frame: for real
+    # signals that bin is exactly real, and torch/XLA FFTs round its ~±0
+    # imaginary part differently, flipping angle() between +π and −π — a 2π
+    # jump in the phase-stream *input* that is numerical convention, not
+    # model wiring. An alternating offset A·(−1)^n with A > max|x| makes the
+    # bin's real part strictly positive (phase 0 on both sides).
+    alt = torch.pow(torch.tensor(-1.0), torch.arange(t, dtype=torch.float64))
+    x = x + (x.abs().max() + 1.0) * alt
+    # Zero the reflect-padded boundary regions: the first/last centered STFT
+    # frames see an even-symmetric segment whose spectrum is exactly real,
+    # which flips angle() by 2π between FFT implementations the same way.
+    # All-zero boundary frames have phase 0 on both sides.
+    x[..., : cfg["n_fft"]] = 0.0
+    x[..., -cfg["n_fft"]:] = 0.0
+    freqs = cfg["n_fft"] // 2  # post-DC-drop bin count
+    hf = torch.tensor([max(2, freqs // 3) + i for i in range(batch)])
+
+    with torch.no_grad():
+        # MambaUNet.forward has hard-coded verbose prints (model.py:460) —
+        # silence them for the single-stream case.
+        if model == "mamba":
+            import contextlib
+            import io
+
+            with contextlib.redirect_stdout(io.StringIO()):
+                y_ref = ref(x, hf).numpy()
+        else:
+            y_ref = ref(x, hf).numpy()
+
+    params = state_dict_to_flax(ref.state_dict(), dtype=jnp.float64)
+
+    xj = jnp.asarray(x.numpy(), dtype=jnp.float64)
+    hfj = jnp.asarray(hf.numpy())
+    template = jax.eval_shape(
+        lambda: flax_model.init(jax.random.PRNGKey(0), xj, hfj)
+    )["params"]
+    assert_tree_match(template, params)
+
+    y = jax.jit(
+        lambda p, a, h: flax_model.apply({"params": p}, a, h, deterministic=True)
+    )(params, xj, hfj)
+    y = np.asarray(y)
+
+    assert y.shape == y_ref.shape, (y.shape, y_ref.shape)
+    ref_scale = float(np.abs(y_ref).max())
+    max_abs = float(np.abs(y - y_ref).max())
+    return {
+        "model": model,
+        "size": size,
+        "max_abs": max_abs,
+        "rel": max_abs / max(ref_scale, 1e-30),
+        "ref_scale": ref_scale,
+        "n_params": int(n_params),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="dual", choices=["dual", "mamba"])
+    ap.add_argument("--size", default="tiny", choices=list(SIZES))
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+    print(json.dumps(run_parity(args.model, args.size, args.seed, args.batch)))
+
+
+if __name__ == "__main__":
+    main()

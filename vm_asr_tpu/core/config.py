@@ -233,6 +233,10 @@ def default_config() -> CfgNode:
     c.TRAIN.LOSSES.GEN = ["multi_resolution_stft"]
     c.TRAIN.METRICS = ["snr", "lsd", "lsd_hf", "lsd_lf"]
     c.TRAIN.LOW_FREQ_REPLACEMENT = False
+    # "torch" = reference-faithful (a no-op for the (B,1,T) inputs every
+    # production path uses — see models/unet.py lfr_mode docs); "fixed" =
+    # the intended input-low-band replacement.
+    c.TRAIN.LFR_MODE = "torch"
     c.TRAIN.AUTO_RESUME = True
     c.TRAIN.ACCUMULATION_STEPS = 1
     c.TRAIN.OPTIMIZER = CfgNode()

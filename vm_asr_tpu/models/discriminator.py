@@ -22,7 +22,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import torch_bias_init, torch_linear_init
+from .layers import _gelu_exact as gelu_exact, torch_bias_init, torch_linear_init
 
 
 def _maybe_sn(layer: nn.Module, spectral: bool) -> nn.Module:
@@ -75,7 +75,7 @@ class PeriodDiscriminator(nn.Module):
             )
             x = _maybe_sn(conv, spectral)(x, update_stats=update_stats) if spectral \
                 else conv(x)
-            x = nn.gelu(x)
+            x = gelu_exact(x)
             feature_map.append(x)
             fan_in = w_out
 
@@ -172,7 +172,7 @@ class ScaleDiscriminator(nn.Module):
             )
             x = _maybe_sn(conv, spectral)(x, update_stats=update_stats) if spectral \
                 else conv(x)
-            x = nn.gelu(x)
+            x = gelu_exact(x)
             feature_map.append(x)
             fan_in = w_out
 

@@ -44,6 +44,7 @@ def get_model(config) -> Dict[str, Any]:
         win_length=config.DATA.STFT.WIN_LENGTH,
         spectro_scale=config.DATA.STFT.SCALE,
         low_freq_replacement=config.TRAIN.LOW_FREQ_REPLACEMENT,
+        lfr_mode=config.TRAIN.get("LFR_MODE", "torch"),
         use_checkpoint=bool(v.get("USE_CHECKPOINT", False)),
         dtype=compute_dtype,
     )

@@ -33,9 +33,22 @@ def torch_bias_init(fan_in: int):
     return init
 
 
+# torch nn.LayerNorm uses eps=1e-5; flax defaults to 1e-6. All norms in
+# this model family must match the reference's epsilon for parity.
+def LayerNorm(**kwargs):
+    kwargs.setdefault("epsilon", 1e-5)
+    return nn.LayerNorm(**kwargs)
+
+
+def _gelu_exact(x):
+    # torch nn.GELU() is the exact erf form; flax nn.gelu defaults to the
+    # tanh approximation, which diverges from the reference by ~1e-4.
+    return nn.gelu(x, approximate=False)
+
+
 _ACTIVATIONS = {
     "silu": nn.silu,
-    "gelu": nn.gelu,
+    "gelu": _gelu_exact,
     "relu": nn.relu,
     "sigmoid": nn.sigmoid,
 }
@@ -144,7 +157,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2, :]
         x3 = x[:, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.Dense(
             self.out_dim,
             use_bias=False,
@@ -179,7 +192,7 @@ class PatchExpanding(nn.Module):
         x = x.reshape(b, h, w, 2, 2, c2 // 4)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c2 // 4)
         if self.use_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            x = LayerNorm(dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -206,7 +219,7 @@ class PatchEmbed(nn.Module):
                 name="proj",
             )(x)
             if self.patch_norm:
-                x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+                x = LayerNorm(dtype=self.dtype, name="norm")(x)
             return x
         assert self.patch_size == 4, "v2 patch embed is fixed to 4x downsample"
         x = nn.Conv(
@@ -219,8 +232,8 @@ class PatchEmbed(nn.Module):
             name="conv1",
         )(x)
         if self.patch_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = nn.gelu(x)
+            x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = _gelu_exact(x)
         x = nn.Conv(
             self.embed_dim,
             kernel_size=(3, 3),
@@ -231,5 +244,5 @@ class PatchEmbed(nn.Module):
             name="conv2",
         )(x)
         if self.patch_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            x = LayerNorm(dtype=self.dtype, name="norm2")(x)
         return x

@@ -28,7 +28,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import cross_merge, cross_scan, selective_scan
-from .layers import get_activation, torch_bias_init, torch_linear_init, trunc_normal_init
+from .layers import LayerNorm, get_activation, torch_bias_init, torch_linear_init, trunc_normal_init
+
+
+def _constrain_directions(xs: jnp.ndarray) -> jnp.ndarray:
+    """Shard the K direction axis of (B, L, K, D) over an active ``mp`` mesh
+    (batch over ``dp``) so the Δ/B/C einsums partition per direction. No-op
+    when no mesh is installed (parallel.set_activation_mesh)."""
+    from ..parallel import mp_mesh
+
+    mesh = mp_mesh()
+    if mesh is None:
+        return xs
+    b, _, k, _ = xs.shape
+    if k % mesh.shape["mp"] or b % mesh.shape["dp"]:
+        return xs
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        xs, NamedSharding(mesh, P("dp", None, "mp", None))
+    )
 
 
 def _uniform_init(bound: float):
@@ -131,6 +150,7 @@ class SS2D(nn.Module):
 
         # ---- directional sequences + projections (MXU) ----------------------
         xs = cross_scan(xs2d)  # (B, L, K, D) — K·D on lanes
+        xs = _constrain_directions(xs)  # mp: shard K (no-op without a mesh)
 
         x_proj_w = self.param(
             "x_proj_weight",
@@ -164,7 +184,7 @@ class SS2D(nn.Module):
         y = cross_merge(y, h, w)  # (B, L, D)
 
         if self.out_norm == "ln":
-            y = nn.LayerNorm(dtype=self.dtype, name="out_norm")(y)
+            y = LayerNorm(dtype=self.dtype, name="out_norm")(y)
         elif self.out_norm == "softmax":
             y = jax.nn.softmax(y, axis=1)
         elif self.out_norm == "sigmoid":

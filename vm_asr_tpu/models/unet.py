@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dsp import spectro2wav, wav2spectro
-from .layers import PatchEmbed, torch_bias_init, torch_linear_init
+from .layers import PatchEmbed, _gelu_exact as gelu_exact, torch_bias_init, torch_linear_init
 from .vss import VSSLayer
 
 
@@ -245,9 +245,9 @@ class UNetCore(nn.Module):
         # v1
         if self.concat_skip:
             x = self.out_skip_conv(x)
-        x = nn.gelu(x)
+        x = gelu_exact(x)
         x = self.out_convt1(x)
-        x = nn.gelu(x)
+        x = gelu_exact(x)
         x = self.out_convt2(x)
         return x
 
@@ -271,12 +271,24 @@ class UNetCore(nn.Module):
         return self.output(x, deterministic)
 
 
-def _low_freq_replacement(out, orig, hf):
-    """Copy input bins [0, hf_b) into the output, vectorised over the batch
-    (reference model.py:447-451). out/orig: (B, F, T); hf: (B,) int."""
+def _low_band_mask(out, hf):
     freqs = out.shape[-2]
-    mask = jnp.arange(freqs)[None, :, None] < hf[:, None, None]
-    return jnp.where(mask, orig, out)
+    return jnp.arange(freqs)[None, :, None] < hf[:, None, None]
+
+
+def _low_freq_replacement(out, orig, hf):
+    """Copy input bins [0, hf_b) into the output, vectorised over the batch.
+    This is the *intended* reading of reference model.py:441-451 ("Replace
+    the output low frequency band with the input's") — see ``lfr_mode``."""
+    return jnp.where(_low_band_mask(out, hf), orig, out)
+
+
+def _low_freq_replacement_torch_2d(out, orig, hf):
+    """What reference `_low_freq_replacement(x=out, y=orig)` *actually does*
+    on channel-less (B, F, T) tensors: mutates the **input** spectrogram's
+    low band with the model's and returns it — model low band + input high
+    band (model.py:441-446: ``y[i, :hf[i]] = x[i, :hf[i]]; return y``)."""
+    return jnp.where(_low_band_mask(out, hf), out, orig)
 
 
 class MambaUNet(nn.Module):
@@ -308,6 +320,18 @@ class MambaUNet(nn.Module):
     win_length: int = 1024
     spectro_scale: str = "log2"
     low_freq_replacement: bool = False
+    # How LOW_FREQ_REPLACEMENT behaves when enabled:
+    #   "torch": byte-faithful to the reference, whose per-sample loop
+    #     (model.py:441-451) indexes dim 1 — the CHANNEL axis for the
+    #     (B, 1, T) inputs every reference trainer/tester path feeds, making
+    #     the feature an exact NO-OP in production (verified empirically:
+    #     on/off outputs are bit-identical for 3-dim inputs). For 2-dim
+    #     (B, T) inputs it keeps the *input's* high band and the model's low
+    #     band. Published checkpoints/LSD numbers were produced under the
+    #     no-op, so this is the default.
+    #   "fixed": the intended semantics — input low band copied into the
+    #     model output (opt-in, TRAIN.LFR_MODE).
+    lfr_mode: str = "torch"
     use_checkpoint: bool = False
     scan_impl: Optional[str] = None
     dtype: Any = jnp.float32
@@ -354,6 +378,25 @@ class MambaUNet(nn.Module):
             self.spectro_scale,
         )
 
+    def _apply_lfr(self, mag, phase, x, hf, chan: bool):
+        """Low-frequency replacement per ``lfr_mode`` (see field docs).
+        ``chan``: whether the caller received a (B, 1, T) input — the rank
+        that makes the reference implementation a no-op."""
+        if not self.low_freq_replacement or hf is None:
+            return mag, phase
+        if self.lfr_mode == "torch" and chan:
+            return mag, phase  # reference production behaviour: no-op
+        mag_org, phase_org = self._mag_phase(x)
+        fn = (
+            _low_freq_replacement_torch_2d
+            if self.lfr_mode == "torch"
+            else _low_freq_replacement
+        )
+        mag = fn(mag, mag_org, hf)
+        if phase is not None:
+            phase = fn(phase, phase_org, hf)
+        return mag, phase
+
     def __call__(self, x, hf=None, deterministic: bool = True):
         """x: (B, T) or (B, 1, T) waveform; hf: (B,) highcut bin indices."""
         chan = x.ndim == 3
@@ -379,10 +422,7 @@ class MambaUNet(nn.Module):
         mag = jnp.concatenate([mag_dc, mag], axis=-2)
         phase = jnp.concatenate([phase_dc, phase], axis=-2)
 
-        if self.low_freq_replacement and hf is not None:
-            mag_org, phase_org = self._mag_phase(x)
-            mag = _low_freq_replacement(mag, mag_org, hf)
-            phase = _low_freq_replacement(phase, phase_org, hf)
+        mag, phase = self._apply_lfr(mag, phase, x, hf, chan)
 
         wav = self._i_mag_phase(mag, phase)[..., :length]
         return wav[:, None, :] if chan else wav
@@ -481,10 +521,7 @@ class DualStreamInteractiveMambaUNet(MambaUNet):
         mag = jnp.concatenate([mag_dc, mag], axis=-2)
         phase = jnp.concatenate([phase_dc, phase], axis=-2)
 
-        if self.low_freq_replacement and hf is not None:
-            mag_org, phase_org = self._mag_phase(x)
-            mag = _low_freq_replacement(mag, mag_org, hf)
-            phase = _low_freq_replacement(phase, phase_org, hf)
+        mag, phase = self._apply_lfr(mag, phase, x, hf, chan)
 
         wav = self._i_mag_phase(mag, phase)[..., :length]
         return wav[:, None, :] if chan else wav
@@ -506,9 +543,7 @@ class DualStreamInteractiveMambaUNet(MambaUNet):
         magc = out[..., 0].astype(jnp.float32) + residual_mag
         mag = jnp.concatenate([mag_dc, magc], axis=-2)
 
-        if self.low_freq_replacement and hf is not None:
-            mag_org, _ = self._mag_phase(x)
-            mag = _low_freq_replacement(mag, mag_org, hf)
+        mag, _ = self._apply_lfr(mag, None, x, hf, chan)
 
         wav = self._i_mag_phase(mag, phase)[..., :length]
         return wav[:, None, :] if chan else wav

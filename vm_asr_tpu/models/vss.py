@@ -7,7 +7,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import DropPath, GMlp, Mlp, PatchExpanding, PatchMerging, torch_bias_init, torch_linear_init
+from .layers import DropPath, GMlp, LayerNorm, Mlp, PatchExpanding, PatchMerging, torch_bias_init, torch_linear_init
 from .ss2d import SS2D
 
 
@@ -43,7 +43,7 @@ class VSSBlock(nn.Module):
 
         def norm(name):
             if self.use_norm:
-                return nn.LayerNorm(dtype=self.dtype, name=name)
+                return LayerNorm(dtype=self.dtype, name=name)
             return lambda v: v
 
         def body(x):

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import PatchEmbed, trunc_normal_init
+from .layers import LayerNorm, PatchEmbed, trunc_normal_init
 from .unet import resolve_dims
 from .vss import VSSLayer
 
@@ -88,7 +88,7 @@ class VSSM(nn.Module):
                 )
             )
         self.stages = stages
-        self.norm = nn.LayerNorm(dtype=self.dtype)
+        self.norm = LayerNorm(dtype=self.dtype)
         self.head = nn.Dense(self.num_classes, kernel_init=trunc_normal_init,
                              dtype=self.dtype)
 
@@ -115,7 +115,7 @@ class BackboneVSSM(VSSM):
 
     def setup(self):
         super().setup()
-        self.out_norms = [nn.LayerNorm(dtype=self.dtype)
+        self.out_norms = [LayerNorm(dtype=self.dtype)
                           for _ in self.out_indices]
 
     def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, ...]:

@@ -19,6 +19,7 @@ configs use d_state N=1 (config.py:100) — the counterpart of the reference's
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -45,7 +46,47 @@ def selective_scan(
     delta_softplus: bool = True,
     impl: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Returns y: (B, L, K, D) in the input dtype; scan maths in fp32."""
+    """Returns y: (B, L, K, D) in the input dtype; scan maths in fp32.
+
+    With an active ``mp`` mesh (parallel.set_activation_mesh), the K scan
+    directions are split over ``mp`` via shard_map — each device scans its
+    directions; ``cross_merge``'s gather afterwards rides ICI.
+    """
+    from ..parallel import mp_mesh
+
+    mesh = mp_mesh()
+    b, _, k, _ = u.shape
+    if (
+        mesh is not None
+        and D_skip is not None
+        and dt_bias is not None
+        and k % mesh.shape["mp"] == 0
+        and b % mesh.shape["dp"] == 0
+    ):
+        from jax.sharding import PartitionSpec as P
+
+        seq = P("dp", None, "mp", None)
+        par = P("mp", None)
+        local = functools.partial(
+            _selective_scan_local, delta_softplus=delta_softplus, impl=impl
+        )
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(seq, seq, P("mp", None, None), seq, seq, par, par),
+            out_specs=seq,
+            check_vma=False,
+        )(u, dts, A, Bs, Cs, D_skip, dt_bias)
+    return _selective_scan_local(
+        u, dts, A, Bs, Cs, D_skip, dt_bias,
+        delta_softplus=delta_softplus, impl=impl,
+    )
+
+
+def _selective_scan_local(
+    u, dts, A, Bs, Cs, D_skip=None, dt_bias=None,
+    delta_softplus: bool = True, impl: Optional[str] = None,
+):
     impl = impl or default_impl()
     in_dtype = u.dtype
     b, l, k, d = u.shape

@@ -1,3 +1,4 @@
+from .context import get_activation_mesh, mp_mesh, set_activation_mesh
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -12,4 +13,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "replicate_tree",
+    "set_activation_mesh",
+    "get_activation_mesh",
+    "mp_mesh",
 ]
