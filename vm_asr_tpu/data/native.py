@@ -52,6 +52,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.vm_pcm16_to_f32.argtypes = [i16p, ctypes.c_int64, f32p]
     lib.vm_f32_to_pcm16.restype = None
     lib.vm_f32_to_pcm16.argtypes = [f32p, ctypes.c_int64, i16p]
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
+    ip = ctypes.POINTER(ctypes.c_int)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.vm_flac_decode.restype = ctypes.c_int
+    lib.vm_flac_decode.argtypes = [u8p, ctypes.c_int64, i32pp, i64p, ip, ip, ip]
+    lib.vm_flac_free.restype = None
+    lib.vm_flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
     _LIB = lib
     return _LIB
 
@@ -101,6 +110,47 @@ def pcm16_to_f32(x: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def decode_flac(path_or_bytes) -> tuple:
+    """Decode a FLAC file (native/src/flac_decoder.cpp).
+
+    Returns (samples, sample_rate): samples float32 in [-1, 1), shape
+    (channels, n_frames) — the layout torchaudio.load gives the reference's
+    flac→wav conversion (data_loaders.py:151-246).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native FLAC decoder unavailable — build it with native/build.sh"
+        )
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        blob = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            blob = f.read()
+    buf = np.frombuffer(blob, np.uint8)
+    out = ctypes.POINTER(ctypes.c_int32)()
+    n_frames = ctypes.c_int64()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    bps = ctypes.c_int()
+    rc = lib.vm_flac_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        ctypes.byref(out), ctypes.byref(n_frames), ctypes.byref(sr),
+        ctypes.byref(ch), ctypes.byref(bps),
+    )
+    if rc != 0:
+        raise ValueError(f"FLAC decode failed (code {rc})")
+    n = int(n_frames.value) * int(ch.value)
+    try:
+        pcm = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    finally:
+        lib.vm_flac_free(out)
+    # interleaved → (channels, frames); normalise by the sample depth
+    audio = pcm.reshape(int(n_frames.value), int(ch.value)).T
+    scale = float(1 << (int(bps.value) - 1))
+    return (audio.astype(np.float32) / scale, int(sr.value))
 
 
 def f32_to_pcm16(x: np.ndarray) -> np.ndarray:

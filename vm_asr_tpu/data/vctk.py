@@ -4,15 +4,17 @@ Reference: data_loader/data_loaders.py:82-520 (CustomVCTK_092). Capabilities:
 - corpus layout discovery + speaker-split train/test (TRAIN_SPLIT=[100, 8],
   reference config.py:31 / data_loaders.py:248-307)
 - sample-id JSON cache and USE_QUANTITY subsampling (data_loaders.py:269-307)
-- silence trimming from the vctk-silence-labels timestamp file during
-  flac→wav conversion (data_loaders.py:151-246) — conversion itself requires
-  a flac decoder, which this image lacks; it is gated with a clear error and
-  the trimming logic is exposed for testing.
+- flac→wav conversion with silence trimming from the vctk-silence-labels
+  timestamp file (data_loaders.py:151-246): ``convert_flac_corpus`` walks the
+  raw VCTK-0.92 flac tree, decodes through the framework's own native FLAC
+  decoder (native/src/flac_decoder.cpp via data.native.decode_flac — this
+  image has no flac library), trims, and writes 16-bit wavs in the layout
+  the dataset class expects.
 - fixed-length load with white-noise padding (data_loaders.py:349-422)
 
-Audio IO uses scipy.io.wavfile (this environment has no flac decoder); a
-``SyntheticVCTK`` stand-in generates deterministic harmonic "speech" with the
-same interface for tests and smoke training runs.
+Wav IO uses scipy.io.wavfile; a ``SyntheticVCTK`` stand-in generates
+deterministic harmonic "speech" with the same interface for tests and smoke
+training runs.
 """
 
 from __future__ import annotations
@@ -69,6 +71,49 @@ def trim_silence(
     start = max(0, int(bounds[0] * sr))
     end = min(audio.shape[-1], int(bounds[1] * sr))
     return audio[..., start:end]
+
+
+EXCLUDED_SPEAKERS = ("p280", "p315")  # reference data_loaders.py:193-195
+
+
+def convert_flac_corpus(
+    flac_root: str,
+    dst_root: str,
+    timestamps_path: Optional[str] = None,
+    mic_id: str = "mic1",
+    overwrite: bool = False,
+) -> int:
+    """Convert a raw VCTK-0.92 flac tree to the trimmed wav layout.
+
+    Mirrors reference ``_flac2wav`` (data_loaders.py:151-246): walks
+    ``{flac_root}/{speaker}/{speaker}_{utt}_{mic}.flac``, skips speakers
+    p280/p315, trims each utterance to its vctk-silence-labels window, and
+    writes ``{dst_root}/{speaker}/{speaker}_{utt}.wav`` (16-bit PCM).
+    Existing files are kept unless ``overwrite``. Returns #files written.
+    """
+    from .native import decode_flac
+
+    labels = parse_silence_labels(timestamps_path) if timestamps_path else {}
+    written = 0
+    for speaker in sorted(os.listdir(flac_root)):
+        sdir = os.path.join(flac_root, speaker)
+        if not os.path.isdir(sdir) or speaker in EXCLUDED_SPEAKERS:
+            continue
+        dst_dir = os.path.join(dst_root, speaker)
+        for fname in sorted(os.listdir(sdir)):
+            if not fname.endswith(f"_{mic_id}.flac"):
+                continue
+            utt = fname[: -len(f"_{mic_id}.flac")]  # e.g. p225_001
+            dst = os.path.join(dst_dir, f"{utt}.wav")
+            if os.path.exists(dst) and not overwrite:
+                continue
+            audio, sr = decode_flac(os.path.join(sdir, fname))
+            mono = audio[0] if audio.ndim == 2 else audio
+            mono = trim_silence(mono, sr, labels.get(utt))
+            os.makedirs(dst_dir, exist_ok=True)
+            save_wav(dst, mono, sr)
+            written += 1
+    return written
 
 
 @dataclass
