@@ -1,11 +1,17 @@
-"""Benchmark: flagship 48 kHz inference real-time factor on one TPU chip.
+"""Benchmark: flagship 48 kHz inference + training throughput on one TPU chip.
 
-Headline metric = mean 1/RTF for a 2.555 s / 48 kHz segment, batch 1 —
+Line 1 (headline) = mean 1/RTF for a 2.555 s / 48 kHz segment, batch 1 —
 directly comparable to the reference's RTF_RECIPROCAL column
 (results_48kHz.csv, measured on a V100 32 GB at 27.8–59.8× real-time;
 BASELINE.md). vs_baseline uses the reference's best (59.8).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Line 2 = training real-time factor (audio-seconds trained per wall-second)
+for the flagship 48 kHz GAN config (MPD, batch 8, full jitted
+generator+discriminator step). The reference publishes no training
+wall-clock numbers; vs_baseline is relative to this repo's round-1 figure
+(~490× real-time, ROADMAP.md) so progression is visible across rounds.
+
+Each metric is one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -45,9 +51,12 @@ def main():
         y = forward(params, x, hf)
         return x + 1e-6 * y
 
-    # warmup / compile
+    # warmup: compile, then a full discarded timing loop — the remote-TPU
+    # tunnel's first burst of executions runs far below steady state.
     chained(params, x, hf).block_until_ready()
-    x = chained(params, x, hf)
+    for _ in range(20):
+        x = chained(params, x, hf)
+    x.block_until_ready()
 
     iters = 20
     t0 = time.perf_counter()
@@ -65,6 +74,73 @@ def main():
                 "value": round(rtf_recip, 3),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf_recip / V100_BEST_RTF_RECIPROCAL, 3),
+            }
+        )
+    )
+    bench_train()
+
+
+ROUND1_TRAIN_RT = 490.0  # this repo's round-1 MPD training RT factor
+
+
+def bench_train(batch_size: int = 8, iters: int = 10):
+    """Full GAN training step (generator fwd+bwd+opt, MPD disc step)."""
+    from vm_asr_tpu.data import DataPipeline, DegradingSampler, SyntheticVCTK
+    from vm_asr_tpu.models import get_model
+    from vm_asr_tpu.parallel import make_mesh, shard_batch
+    from vm_asr_tpu.train.trainer import Trainer
+    from __graft_entry__ import _flagship_config
+
+    config = _flagship_config(batch_size=batch_size, gan=True)
+    config.OUTPUT = "/tmp/vm_asr_tpu_bench"
+
+    models = get_model(config)
+    ds = SyntheticVCTK(n_items=batch_size, sr=48000,
+                       duration=config.DATA.SEGMENT + 0.01)
+    sampler = DegradingSampler(ds, config, training=True)
+    loader = DataPipeline(sampler, batch_size=batch_size, num_workers=2)
+    mesh = make_mesh(dp=1, devices=jax.devices()[:1])
+    trainer = Trainer(config, models, loader, None, mesh=mesh)
+
+    batch = next(iter(loader))
+    device_batch = shard_batch(
+        {
+            "wave_input": batch.wave_input,
+            "wave_target": batch.wave_target,
+            "highcut": batch.highcut,
+        },
+        mesh,
+    )
+    rng = jax.random.PRNGKey(0)
+    gen_state, disc_states = trainer.gen_state, trainer.disc_states
+
+    # compile + a full discarded warm-up loop (state chaining ⇒ every step is
+    # a distinct execution; runtime memoization can't short-cut, and the
+    # tunnel needs a burst before reaching steady state)
+    for _ in range(10):
+        rng, step_rng = jax.random.split(rng)
+        gen_state, disc_states, metrics = trainer.train_step(
+            gen_state, disc_states, device_batch, step_rng
+        )
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        rng, step_rng = jax.random.split(rng)
+        gen_state, disc_states, metrics = trainer.train_step(
+            gen_state, disc_states, device_batch, step_rng
+        )
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / iters
+
+    rt = batch_size * config.DATA.SEGMENT / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rt_factor_48k_MPD_batch8",
+                "value": round(rt, 3),
+                "unit": "x_realtime",
+                "vs_baseline": round(rt / ROUND1_TRAIN_RT, 3),
             }
         )
     )

@@ -27,12 +27,14 @@ pytestmark = pytest.mark.skipif(
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(model: str) -> dict:
+def _run(model: str, pin_stft: bool = False) -> dict:
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cmd = [sys.executable, "-m", "vm_asr_tpu.compat.parity_check",
+           "--model", model, "--size", "tiny"]
+    if pin_stft:
+        cmd.append("--pin-stft")
     out = subprocess.run(
-        [sys.executable, "-m", "vm_asr_tpu.compat.parity_check",
-         "--model", model, "--size", "tiny"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -50,3 +52,11 @@ def test_single_stream_forward_parity():
     # the single-stream normalisation amplifies the scan noise slightly;
     # observed ~7e-6.
     assert r["rel"] < 1e-4, r
+
+
+def test_latent_variant_forward_parity():
+    # The 5-dim latent bottleneck variant (reference model.py:299-332).
+    # pin-stft: its 128-pt-FFT geometry hits the boundary-frame ±π
+    # convention noise, so both sides run from identical spectrograms.
+    r = _run("dual5", pin_stft=True)
+    assert r["rel"] < 1e-5, r

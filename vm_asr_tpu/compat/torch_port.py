@@ -194,11 +194,12 @@ def state_dict_to_flax(
         root = _STREAMS[suffix]
 
         if group == "layers_latent":
-            raise NotImplementedError(
-                "5-dim latent U-Net checkpoints (reference model.py:299-332) "
-                "are not supported — no shipped config uses them."
-            )
-        if group == "patch_embed":
+            # ModuleList with a single bottleneck VSSLayer (model.py:299-332)
+            idx, sub = rest.split(".", 1)
+            assert idx == "0", f"unexpected latent index in {key}"
+            path, arr = _map_vss_layer(sub, value)
+            path = ("latent",) + path
+        elif group == "patch_embed":
             path, arr = _map_patch_embed(rest, value, pe_version)
             path = ("patch_embed",) + path
         elif group in ("layers_encoder", "layers_decoder"):

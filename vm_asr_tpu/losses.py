@@ -47,9 +47,12 @@ def _stft_mag(
     if emphasize_high_freq:
         freqs = mag.shape[-1]
         w = jnp.linspace(1.0, 2.0, freqs)
-        # The reference weights axis 1 of its (B, freqs→? ) layout
-        # (loss.py:39-43) — after its transpose, dim 1 is frames-vs-freq per
-        # layout; we weight the frequency axis, which is the stated intent.
+        # Deliberate fix (documented in PARITY.md): the reference weights
+        # `magnitude.size(1)` AFTER its (B, freqs, frames)→(B, frames, freqs)
+        # transpose (loss.py:38-43), i.e. it linearly up-weights the *time*
+        # axis — contradicting both the flag's name and its comment. We weight
+        # the frequency axis as intended. Inert in every shipped config
+        # (EMPHASIZE_HIGH_FREQ is False throughout).
         mag = mag * w[None, None, :]
     return mag
 

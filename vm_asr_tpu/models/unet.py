@@ -88,11 +88,17 @@ class UNetCore(nn.Module):
     def setup(self):
         num_layers = len(self.depths)
         dims = resolve_dims(self.dims, num_layers)
-        if len(dims) != num_layers:
-            raise NotImplementedError(
-                "Only the len(dims) == num_layers layout is supported (the "
-                "reference's 5-dim latent variant is unused by its configs)."
+        if len(dims) not in (num_layers, num_layers + 1):
+            raise ValueError(
+                f"dims must have {num_layers} entries (standard U-Net) or "
+                f"{num_layers + 1} (latent variant, reference "
+                f"model.py:299-332); got {len(dims)}"
             )
+        # len(dims) == num_layers + 1: the reference's "5-dim" layout — every
+        # encoder stage downsamples (into dims[n]), a latent VSSLayer sits at
+        # the bottleneck, and every decoder stage (and the output head)
+        # consumes a skip connection.
+        self._has_latent = len(dims) == num_layers + 1
         self._dims = dims
         dpr = list(np.linspace(0.0, self.drop_path_rate, sum(self.depths)))
 
@@ -121,29 +127,53 @@ class UNetCore(nn.Module):
             dtype=self.dtype,
         )
 
-        # Encoders: blocks at dims[i], downsample at stage end except last
-        # (reference model.py:247-297).
+        # Encoders: blocks at dims[i]; downsample at stage end except the
+        # last stage of the standard layout (reference model.py:247-297).
         encoders = []
         for i in range(num_layers):
-            sampler = ("merge", dims[i + 1]) if i < num_layers - 1 else None
+            down = self._has_latent or i < num_layers - 1
             encoders.append(
                 VSSLayer(
                     dim=dims[i],
                     drop_path=dpr[
                         sum(self.depths[:i]) : sum(self.depths[: i + 1])
                     ],
-                    sampler=sampler,
+                    sampler=("merge", dims[i + 1]) if down else None,
                     concat_skip=False,
                     **common,
                 )
             )
         self.encoders = encoders
 
+        # Bottleneck layer of the latent variant (reference model.py:299-332).
+        if self._has_latent:
+            self.latent = VSSLayer(
+                dim=dims[num_layers],
+                drop_path=dpr[
+                    sum(self.depths[: num_layers - 1]) : sum(
+                        self.depths[:num_layers]
+                    )
+                ],
+                sampler=None,
+                concat_skip=False,
+                **common,
+            )
+
         # Decoders for i_layer = num_layers .. 1 (reference model.py:338-394).
         decoders = []
         for i_layer in range(num_layers, 0, -1):
-            dim = dims[i_layer] if i_layer < num_layers - 1 else dims[num_layers - 1]
-            sampler = ("expand", True) if i_layer < num_layers else None
+            if self._has_latent:
+                dim = dims[i_layer]
+                sampler = ("expand", True)
+                cskip = self.concat_skip
+            else:
+                dim = (
+                    dims[i_layer]
+                    if i_layer < num_layers - 1
+                    else dims[num_layers - 1]
+                )
+                sampler = ("expand", True) if i_layer < num_layers else None
+                cskip = self.concat_skip if i_layer < num_layers else False
             decoders.append(
                 VSSLayer(
                     dim=dim,
@@ -151,7 +181,7 @@ class UNetCore(nn.Module):
                         sum(self.depths[:i_layer]) : sum(self.depths[: i_layer + 1])
                     ],
                     sampler=sampler,
-                    concat_skip=(self.concat_skip if i_layer < num_layers else False),
+                    concat_skip=cskip,
                     **common,
                 )
             )
@@ -230,6 +260,9 @@ class UNetCore(nn.Module):
     def encode(self, i: int, x, deterministic: bool = True):
         return self.encoders[i](x, deterministic)
 
+    def run_latent(self, x, deterministic: bool = True):
+        return self.latent(x, deterministic)
+
     def decode(self, i: int, x, deterministic: bool = True):
         return self.decoders[i](x, deterministic)
 
@@ -253,22 +286,31 @@ class UNetCore(nn.Module):
 
     def __call__(self, x, deterministic: bool = True):
         """Single-stream forward over an NHWC image, including skips
-        (reference model.py:526-565, the len(dims)==4 branch)."""
+        (reference model.py:459-565: 4-dim and latent branches)."""
         n = self.num_layers
+
+        def fuse(x, s):
+            return jnp.concatenate([x, s], axis=-1) if self.concat_skip else x + s
+
         x = self.embed(x, deterministic)
         skips = [x]
+        if self._has_latent:
+            for i in range(n):
+                x = self.encode(i, x, deterministic)
+                skips.append(x)
+            x = self.run_latent(x, deterministic)
+            for i in range(n):
+                x = self.decode(i, fuse(x, skips.pop()), deterministic)
+            return self.output(fuse(x, skips.pop()), deterministic)
         for i in range(n):
             x = self.encode(i, x, deterministic)
             if i < n - 1:
                 skips.append(x)
         for i in range(n):
             if i != 0:
-                s = skips.pop()
-                x = jnp.concatenate([x, s], axis=-1) if self.concat_skip else x + s
+                x = fuse(x, skips.pop())
             x = self.decode(i, x, deterministic)
-        s = skips.pop()
-        x = jnp.concatenate([x, s], axis=-1) if self.concat_skip else x + s
-        return self.output(x, deterministic)
+        return self.output(fuse(x, skips.pop()), deterministic)
 
 
 def _low_band_mask(out, hf):
@@ -474,15 +516,22 @@ class DualStreamInteractiveMambaUNet(MambaUNet):
         p = self.core_phase.embed(p, deterministic)
         skips = [(m, p)]
 
+        has_latent = not isinstance(self.dims, int) and len(self.dims) == n + 1
+
         for i in range(n):
             m = self.core_mag.encode(i, m, deterministic)
             p = self.core_phase.encode(i, p, deterministic)
-            if i < n - 1:
+            if has_latent or i < n - 1:
                 skips.append((m, p))
             m, p = self._interact(m, p)
 
+        if has_latent:
+            # Bottleneck: no stream interaction (reference model.py:1133-1139)
+            m = self.core_mag.run_latent(m, deterministic)
+            p = self.core_phase.run_latent(p, deterministic)
+
         for i in range(n):
-            if i != 0:
+            if has_latent or i != 0:
                 ms, ps = skips.pop()
                 if self.concat_skip:
                     m = self.core_mag.decode(
