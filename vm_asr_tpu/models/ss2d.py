@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
+
 from ..ops import cross_merge, cross_scan, selective_scan
 from .layers import LayerNorm, get_activation, torch_bias_init, torch_linear_init, trunc_normal_init
 
@@ -180,6 +182,10 @@ class SS2D(nn.Module):
             xs, dts, a, bs, cs, d_skip, dt_bias,
             delta_softplus=True, impl=self.scan_impl,
         )  # (B, L, K, D) in xs.dtype
+        # Remat tag: under USE_CHECKPOINT the VSSBlock's rematerialisation
+        # policy saves this output instead of re-running the scan kernel in
+        # the backward (vss.py save_only_these_names("scan_out")).
+        y = _checkpoint_name(y, "scan_out")
 
         y = cross_merge(y, h, w)  # (B, L, D)
 

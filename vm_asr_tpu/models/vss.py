@@ -5,6 +5,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import DropPath, GMlp, LayerNorm, Mlp, PatchExpanding, PatchMerging, torch_bias_init, torch_linear_init
@@ -89,8 +90,14 @@ class VSSBlock(nn.Module):
 
         if self.use_checkpoint:
             # Rematerialise activations in backward (the TPU analogue of the
-            # reference's torch checkpoint, vmamba.py:1839-1843).
-            return nn.remat(lambda m, v: body(v))(self, x)
+            # reference's torch checkpoint, vmamba.py:1839-1843) — but keep
+            # the selective-scan outputs (tagged in SS2D): recomputing the
+            # scan costs another full kernel pass per block, while its saved
+            # output is only (B, L, K·D) — most of the memory win comes from
+            # dropping the projection/MLP intermediates, which XLA re-fuses
+            # cheaply.
+            policy = jax.checkpoint_policies.save_only_these_names("scan_out")
+            return nn.remat(lambda m, v: body(v), policy=policy)(self, x)
         return body(x)
 
 
