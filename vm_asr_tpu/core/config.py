@@ -34,15 +34,29 @@ class CfgNode(dict):
         except KeyError as e:
             raise AttributeError(name) from e
 
+    def _is_frozen(self) -> bool:
+        # Tolerate a missing flag: dict-subclass unpickling restores items
+        # before instance attributes exist (grain worker processes pickle
+        # configs inside transforms).
+        try:
+            return object.__getattribute__(self, "_frozen")
+        except AttributeError:
+            return False
+
     def __setattr__(self, name: str, value: Any) -> None:
-        if object.__getattribute__(self, "_frozen"):
+        if self._is_frozen():
             raise AttributeError(f"CfgNode is frozen; cannot set {name}")
         self[name] = value
 
     def __setitem__(self, key, value):
-        if object.__getattribute__(self, "_frozen"):
+        if self._is_frozen():
             raise AttributeError(f"CfgNode is frozen; cannot set {key}")
         super().__setitem__(key, value)
+
+    def __reduce__(self):
+        # Rebuild from the plain-dict form (re-wraps nested CfgNodes);
+        # freeze state intentionally does not survive pickling.
+        return (CfgNode, (self.to_dict(),))
 
     # -- freeze / clone ------------------------------------------------------
     def freeze(self) -> "CfgNode":
@@ -174,6 +188,9 @@ def default_config() -> CfgNode:
         ["ellip", 12],
     ]
     c.DATA.LPF.LPF_TEST = [["cheby1", 6]]
+    # TPU addition: input pipeline backend — "threads" (default) or "grain"
+    # (multiprocess workers + multi-host input sharding support).
+    c.DATA.PIPELINE = "threads"
     c.DATA.FLAC2WAV = CfgNode()
     c.DATA.FLAC2WAV.SRC_SR = 48000
     c.DATA.FLAC2WAV.SRC_PATH = "data/"

@@ -213,6 +213,11 @@ def get_loaders(config, logger=None, dataset=None):
     from .vctk import VCTKDataset
 
     training = not config.EVAL_MODE
+    pipeline_cls = DataPipeline
+    if config.DATA.get("PIPELINE", "threads") == "grain":
+        from .grain_pipeline import GrainPipeline
+
+        pipeline_cls = GrainPipeline
     if dataset is None:
         root = f"{config.DATA.DATA_PATH.rstrip('/')}/{config.DATA.FLAC2WAV.DST_PATH}"
         dataset = VCTKDataset(
@@ -232,9 +237,9 @@ def get_loaders(config, logger=None, dataset=None):
             seed=config.SEED,
             num_workers=config.DATA.NUM_WORKERS,
         )
-        train = DataPipeline(sampler, indices=tr_idx,
+        train = pipeline_cls(sampler, indices=tr_idx,
                              shuffle=config.DATA.SHUFFLE, **common)
-        valid = DataPipeline(sampler, indices=va_idx, shuffle=False, **common)
+        valid = pipeline_cls(sampler, indices=va_idx, shuffle=False, **common)
         if logger:
             logger.info(
                 f"Data: {len(tr_idx)} train / {len(va_idx)} valid samples"
@@ -245,7 +250,7 @@ def get_loaders(config, logger=None, dataset=None):
     # (reference data_loaders.py:67-76, 455).
     input_sr = int(config.TAG.split("_")[0])
     sampler = DegradingSampler(dataset, config, training=False, input_sr=input_sr)
-    return DataPipeline(
+    return pipeline_cls(
         sampler, batch_size=1, shuffle=False, seed=config.SEED,
         num_workers=config.DATA.NUM_WORKERS, drop_last=False,
     )
