@@ -121,15 +121,23 @@ def _make_kernel(k_group: int, d_inner: int, d_tile: int):
     return kernel
 
 
+def _default_chunk(l: int) -> int:
+    """Measured on v5e (ROADMAP): 256 wins at long L (more grid steps to
+    pipeline against the carry dependency), 512 at shorter L. Forward and
+    backward must agree — the checkpoint layout is per-chunk."""
+    return 256 if l >= 8192 else 512
+
+
 @functools.partial(
     jax.jit, static_argnames=("k_group", "chunk", "d_tile", "interpret")
 )
 def _fused_fwd_pallas(u, dts, bs, cs, a_neg, dt_bias, d_skip, k_group,
-                      chunk=512, d_tile=128, interpret=False):
+                      chunk=None, d_tile=128, interpret=False):
     """u/dts: (B, L, KD) fp32 or bf16; bs/cs: (B, L, K); params: (KD,) fp32.
 
     Output dtype follows ``u`` (scan maths itself is always fp32)."""
     bsz, l, kd = u.shape
+    chunk = chunk or _default_chunk(l)
     out_dtype = u.dtype
     d_inner = kd // k_group
     lp = _round_up(l, chunk)
@@ -304,8 +312,9 @@ def _make_bwd_kernel(k_group: int, d_inner: int, d_tile: int, n_d: int):
     jax.jit, static_argnames=("k_group", "chunk", "d_tile", "interpret")
 )
 def _fused_bwd_pallas(u, dts, bs, cs, dy, ckpt, a_neg, dt_bias, d_skip,
-                      k_group, chunk=512, d_tile=128, interpret=False):
+                      k_group, chunk=None, d_tile=128, interpret=False):
     bsz, l, kd = u.shape
+    chunk = chunk or _default_chunk(l)
     d_inner = kd // k_group
     lp = _round_up(l, chunk)
     kdp = _round_up(kd, 128)
