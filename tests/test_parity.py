@@ -60,3 +60,13 @@ def test_latent_variant_forward_parity():
     # convention noise, so both sides run from identical spectrograms.
     r = _run("dual5", pin_stft=True)
     assert r["rel"] < 1e-5, r
+
+
+@pytest.mark.parametrize("kind", ["mpd", "msd"])
+def test_discriminator_forward_parity(kind):
+    # HiFi-GAN discriminators vs the reference (spectral-norm effective
+    # weights transferred; power iterations converged on both sides —
+    # residual error is the σ-estimate convergence, ~1e-5).
+    r = _run(kind)
+    assert r["rel"] < 1e-3, r
+    assert r["fmap_max_abs"] < 1e-3, r

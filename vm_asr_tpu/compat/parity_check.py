@@ -213,10 +213,99 @@ def run_parity(model: str = "dual", size: str = "tiny", seed: int = 0,
     }
 
 
+def run_disc_parity(kind: str = "mpd", seed: int = 0) -> Dict[str, float]:
+    """Forward parity for the HiFi-GAN discriminators (reference
+    model/discriminator.py) — logits and feature maps in float64."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from ..models.discriminator import (
+        MultiPeriodDiscriminator,
+        MultiScaleDiscriminator,
+    )
+    from .ref_loader import load_reference_modules
+    from .torch_port import disc_variables_from_torch
+
+    torch.set_default_dtype(torch.float64)
+    torch.manual_seed(seed)
+    load_reference_modules()
+    import model.discriminator as ref_disc  # noqa: resolved in the ref tree
+
+    if kind == "mpd":
+        ref = ref_disc.MultiPeriodDiscriminator(hidden=8, periods=[2, 3, 5])
+        fx = MultiPeriodDiscriminator(hidden=8, periods=(2, 3, 5),
+                                      dtype=jnp.float64)
+    else:
+        ref = ref_disc.MultiScaleDiscriminator(hidden=16)
+        fx = MultiScaleDiscriminator(hidden=16, dtype=jnp.float64)
+
+    t = 6000
+    y = torch.randn(2, 1, t)
+    y_hat = torch.randn(2, 1, t)
+
+    # Converge the spectral-norm power iterations on both sides: torch's
+    # effective weight W/σ then has top singular value exactly 1, so flax's
+    # recomputed σ (from its own converged u) is also exactly 1 and the two
+    # eval forwards coincide. (Unconverged, both frameworks use 1-step σ
+    # *estimates* from private u vectors that cannot be made to agree.)
+    warm = y[:1, :, :256]
+    ref.train()
+    with torch.no_grad():
+        for _ in range(300):
+            ref(warm, warm)  # MSD's meanpools reject None
+    ref.eval()
+    with torch.no_grad():
+        r_real, r_gen, r_fr, r_fg = ref(y, y_hat)
+
+    yj = jnp.asarray(y.numpy())
+    yhj = jnp.asarray(y_hat.numpy())
+    template = fx.init(jax.random.PRNGKey(0), yj, yhj, update_stats=True)
+    variables = disc_variables_from_torch(ref, template)
+    warm_j = yj[:1, :, :256]
+    for _ in range(300):
+        _, mut = fx.apply(variables, warm_j, warm_j,
+                          update_stats=True, mutable=["batch_stats"])
+        variables = {"params": variables["params"], **mut}
+    f_real, f_gen, f_fr, f_fg = fx.apply(variables, yj, yhj,
+                                         update_stats=False)
+
+    def nhwc_to_torch(a):
+        a = np.asarray(a)
+        if a.ndim == 4:
+            return a.transpose(0, 3, 1, 2)
+        if a.ndim == 3:  # (B, T, C) → (B, C, T)
+            return a.transpose(0, 2, 1)
+        return a
+
+    max_abs = scale = 0.0
+    for ours, theirs in zip(f_real + f_gen, r_real + r_gen):
+        diff = np.abs(np.asarray(ours) - theirs.numpy())
+        max_abs = max(max_abs, float(diff.max()))
+        scale = max(scale, float(theirs.abs().max()))
+    fmap_abs = 0.0
+    for ours_list, theirs_list in zip(f_fr + f_fg, r_fr + r_fg):
+        for ours, theirs in zip(ours_list, theirs_list):
+            diff = np.abs(nhwc_to_torch(ours) - theirs.numpy())
+            fmap_abs = max(fmap_abs, float(diff.max()))
+    return {
+        "model": kind,
+        "max_abs": max_abs,
+        "rel": max_abs / max(scale, 1e-30),
+        "fmap_max_abs": fmap_abs,
+        "ref_scale": scale,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", default="dual",
-                    choices=["dual", "mamba", "dual5", "mamba5"])
+                    choices=["dual", "mamba", "dual5", "mamba5", "mpd", "msd"])
     ap.add_argument("--size", default="tiny", choices=list(SIZES))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=1)
@@ -225,6 +314,9 @@ def main():
                     "outputs — removes the boundary-frame ±π FFT-convention "
                     "noise (see _pinned_class)")
     args = ap.parse_args()
+    if args.model in ("mpd", "msd"):
+        print(json.dumps(run_disc_parity(args.model, args.seed)))
+        return
     print(json.dumps(run_parity(args.model, args.size, args.seed, args.batch,
                                 pin_stft=args.pin_stft)))
 

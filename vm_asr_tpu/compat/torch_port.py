@@ -244,6 +244,59 @@ def load_torch_checkpoint(path: str, dtype: Any = jnp.float32) -> Dict[str, Any]
     return state_dict_to_flax(sd, dtype=dtype)
 
 
+def disc_variables_from_torch(module, template: Mapping) -> Dict[str, Any]:
+    """Convert a reference MPD/MSD discriminator into flax variables.
+
+    The reference wraps every conv in torch spectral norm (the inverted flag,
+    discriminator.py:37,177); reading ``layer.weight`` yields the *effective*
+    weight W/σ, which we store directly and set the flax SpectralNorm σ
+    to 1 — at ``update_stats=False`` the forward is then identical without
+    reproducing torch's power-iteration state. (u vectors keep template
+    values; they only matter when updating stats.)
+
+    ``template``: freshly-initialised flax variables (params + batch_stats).
+    """
+    import torch
+
+    params = {}
+    for key, sub in template["params"].items():  # disc_{i}
+        idx = int(key.split("_")[1])
+        tdisc = module.discriminators[idx]
+        new_sub = {}
+        for name, leaf in sub.items():  # conv_{j} | conv_post
+            if name == "conv_post":
+                layer = tdisc.conv_post
+            else:
+                # PeriodDiscriminator names its stack `layers`,
+                # ScaleDiscriminator names it `convs` (discriminator.py:41,178)
+                stack = getattr(tdisc, "layers", None) or tdisc.convs
+                layer = stack[int(name.split("_")[1])]
+            with torch.no_grad():
+                w = layer.weight.detach().cpu().numpy()  # effective (W/σ)
+                b = layer.bias.detach().cpu().numpy()
+            if w.ndim == 4:  # Conv2d (O, I, kh, kw) → (kh, kw, I, O)
+                kernel = w.transpose(2, 3, 1, 0)
+            else:  # Conv1d (O, I/g, k) → (k, I/g, O)
+                kernel = w.transpose(2, 1, 0)
+            assert kernel.shape == tuple(leaf["kernel"].shape), (
+                name, kernel.shape, leaf["kernel"].shape)
+            new_sub[name] = {
+                "kernel": jnp.asarray(kernel, leaf["kernel"].dtype),
+                "bias": jnp.asarray(b, leaf["bias"].dtype),
+            }
+        params[key] = new_sub
+
+    import jax
+
+    stats = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: (
+            jnp.ones_like(leaf) if path[-1].key == "sigma" else leaf
+        ),
+        template["batch_stats"],
+    )
+    return {"params": params, "batch_stats": stats}
+
+
 def assert_tree_match(template: Mapping, converted: Mapping, prefix: str = ""):
     """Raise with a precise diff if the converted tree's keys/shapes differ
     from a freshly-initialised flax tree's."""
