@@ -70,7 +70,19 @@ class Tester:
             f"[TEST] {self.input_sr} → {self.target_sr} Hz, "
             f"{len(self.loader)} files"
         )
+        warmed_shapes = set()
         for i, batch in enumerate(self.loader):
+            if batch.wave_input.shape not in warmed_shapes:
+                # Untimed warm-up per input shape: the first forward at each
+                # shape bears the XLA compile (tens of seconds on the remote
+                # tunnel), which would dwarf that file's RTF. The reference's
+                # first file only pays cuDNN autotune; compile-excluded
+                # timing is the comparable protocol.
+                self._forward_chunked(
+                    jnp.asarray(batch.wave_input),
+                    jnp.asarray(batch.highcut),
+                ).block_until_ready()
+                warmed_shapes.add(batch.wave_input.shape)
             x = jnp.asarray(batch.wave_input)
             y = jnp.asarray(batch.wave_target)
             hf = jnp.asarray(batch.highcut)
