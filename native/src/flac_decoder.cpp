@@ -238,7 +238,7 @@ extern "C" {
 // (n_frames * channels entries).
 int vm_flac_decode(const uint8_t* buf, int64_t len, int32_t** out,
                    int64_t* n_frames, int* sample_rate, int* channels,
-                   int* bits_per_sample) {
+                   int* bits_per_sample) try {
   if (!buf || len < 42 || memcmp(buf, "fLaC", 4) != 0) return 1;
   BitReader br{buf, static_cast<size_t>(len)};
   br.skip_bytes(4);
@@ -270,9 +270,15 @@ int vm_flac_decode(const uint8_t* buf, int64_t len, int32_t** out,
   if (!have_si || si.sample_rate == 0 || si.channels < 1 || si.channels > 8)
     return 3;
 
+  // A fuzzed/corrupt STREAMINFO can claim up to 2^36 samples — never
+  // pre-allocate more than the compressed stream could plausibly expand to
+  // (bounded by the input size; FLAC is lossless, ≤ ~4 B/sample raw).
   std::vector<int32_t> pcm;
-  if (si.total_samples)
-    pcm.reserve(static_cast<size_t>(si.total_samples) * si.channels);
+  if (si.total_samples) {
+    uint64_t claim = si.total_samples * static_cast<uint64_t>(si.channels);
+    uint64_t plausible = static_cast<uint64_t>(len) * 2;
+    pcm.reserve(static_cast<size_t>(claim < plausible ? claim : plausible));
+  }
   std::vector<std::vector<int64_t>> chan(si.channels);
 
   while (!br.eof()) {
@@ -376,6 +382,10 @@ int vm_flac_decode(const uint8_t* buf, int64_t len, int32_t** out,
   *channels = si.channels;
   *bits_per_sample = si.bps;
   return 0;
+} catch (...) {
+  // Corrupt input must surface as an error code, never cross the C ABI as
+  // a C++ exception (bad_alloc from absurd claimed sizes, etc.).
+  return 12;
 }
 
 void vm_flac_free(int32_t* p) { free(p); }

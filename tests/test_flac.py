@@ -100,3 +100,25 @@ def test_convert_flac_corpus(tmp_path):
     assert wav.shape[-1] == int(0.3 * sr) - int(0.1 * sr)
     # idempotent: second run writes nothing
     assert convert_flac_corpus(str(flac_root), str(dst), str(labels)) == 0
+
+
+def test_fuzz_no_crash():
+    # Malformed streams must fail with an error code, never crash the
+    # process (the decoder is bounds-checked throughout).
+    rng = np.random.default_rng(0)
+    good = encode_flac(_signal(400), 48000, mode="fixed2")
+    for i in range(200):
+        blob = bytearray(good)
+        n_flips = rng.integers(1, 20)
+        for _ in range(n_flips):
+            blob[rng.integers(4, len(blob))] ^= int(rng.integers(1, 256))
+        try:
+            native.decode_flac(bytes(blob))
+        except ValueError:
+            pass  # rejected — fine
+    for i in range(50):
+        junk = rng.integers(0, 256, size=rng.integers(1, 4000), dtype=np.uint8)
+        try:
+            native.decode_flac(junk.tobytes())
+        except ValueError:
+            pass
