@@ -52,12 +52,13 @@ struct BitReader {
     return read_bits(n);
   }
 
-  int32_t read_signed(int n) {
-    uint32_t v = read_bits(n);
-    // sign-extend
+  int64_t read_signed(int n) {
+    // up to 33 bits: 32-bit samples gain one bit in a side channel
+    uint64_t v = read_bits64(n);
     if (n == 0) return 0;
-    if (n < 32 && (v >> (n - 1)) & 1u) v |= ~((1u << n) - 1u);
-    return static_cast<int32_t>(v);
+    if (n < 64 && ((v >> (n - 1)) & 1u))
+      v |= ~((1ull << n) - 1ull);
+    return static_cast<int64_t>(v);
   }
 
   uint32_t read_unary() {
@@ -185,6 +186,7 @@ bool read_subframe(BitReader& br, int blocksize, int bps,
     for (int i = 0; i < blocksize; ++i) s[i] = br.read_signed(bps);
   } else if ((type & 0x38u) == 0x08u && (type & 0x07u) <= 4) {  // FIXED
     int order = static_cast<int>(type & 0x07u);
+    if (order > blocksize) return false;
     for (int i = 0; i < order; ++i) s[i] = br.read_signed(bps);
     if (!read_residual(br, order, blocksize, s)) return false;
     for (int i = order; i < blocksize; ++i) {
@@ -195,6 +197,7 @@ bool read_subframe(BitReader& br, int blocksize, int bps,
     }
   } else if (type & 0x20u) {  // LPC
     int order = static_cast<int>(type & 0x1Fu) + 1;
+    if (order > blocksize) return false;
     for (int i = 0; i < order; ++i) s[i] = br.read_signed(bps);
     int precision = static_cast<int>(br.read_bits(4)) + 1;
     if (precision == 16) return false;  // 0b1111 is invalid

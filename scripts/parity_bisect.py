@@ -37,33 +37,14 @@ def main():
 
     torch.set_default_dtype(torch.float64)
     torch.manual_seed(0)
+    from vm_asr_tpu.compat.parity_check import model_kwarg_pair
+
+    common_ref, common_flax = model_kwarg_pair(cfg, low_freq_replacement=False)
     ref = build_reference_model(
-        "DualStreamInteractiveMambaUNet",
-        patch_size=4, in_chans=1, depths=list(cfg["depths"]),
-        dims=[cfg["dims"] * 2**i for i in range(4)],
-        ssm_d_state=1, ssm_ratio=2.0, ssm_dt_rank="auto",
-        ssm_act_layer="silu", ssm_conv=3, ssm_conv_bias=True,
-        ssm_drop_rate=0.0, ssm_init="v0", forward_type="v5no32",
-        mlp_ratio=4.0, mlp_act_layer="gelu", mlp_drop_rate=0.0, gmlp=False,
-        drop_path_rate=0.1, patch_norm=True, norm_layer="LN",
-        patchembed_version="v2", downsample_version="v1",
-        upsample_version="v1", output_version="v3", concat_skip=True,
-        interact="dual", n_fft=cfg["n_fft"], hop_length=cfg["hop_length"],
-        win_length=cfg["win_length"], spectro_scale="log2",
-        low_freq_replacement=False,
+        "DualStreamInteractiveMambaUNet", interact="dual", **common_ref
     )
     params = state_dict_to_flax(ref.state_dict(), dtype=jnp.float64)
-    fx = DualStreamInteractiveMambaUNet(
-        patch_size=4, in_chans=1, depths=cfg["depths"], dims=cfg["dims"],
-        ssm_d_state=1, ssm_ratio=2.0, ssm_dt_rank="auto", ssm_act="silu",
-        ssm_conv=3, ssm_conv_bias=True, ssm_drop_rate=0.0,
-        mlp_ratio=4.0, mlp_act="gelu", mlp_drop_rate=0.0, gmlp=False,
-        drop_path_rate=0.1, patch_norm=True, patchembed_version="v2",
-        output_version="v3", concat_skip=True, interact="dual",
-        n_fft=cfg["n_fft"], hop_length=cfg["hop_length"],
-        win_length=cfg["win_length"], spectro_scale="log2",
-        low_freq_replacement=False, dtype=jnp.float64,
-    )
+    fx = DualStreamInteractiveMambaUNet(interact="dual", **common_flax)
 
     t = cfg["samples"]
     x = torch.randn(1, 1, t)

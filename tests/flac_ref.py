@@ -47,7 +47,6 @@ class BitWriter:
 
 def _rice_write(bw: BitWriter, residual, param: int):
     for e in residual:
-        u = (int(e) << 1) ^ (int(e) >> 63) if e < 0 else int(e) << 1
         # zigzag: non-negative → 2e, negative → -2e-1
         u = (2 * int(e)) if e >= 0 else (-2 * int(e) - 1)
         bw.write_unary(u >> param)

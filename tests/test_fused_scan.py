@@ -60,3 +60,33 @@ def test_fused_padding_path(rng):
     got = selective_scan(*args, True, impl="interpret")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_gradients_multichunk(rng):
+    """l > chunk exercises the fused backward's cross-chunk machinery —
+    the reverse boundary carry (carry_g), the checkpoint-row restore, and
+    the reversed BlockSpec traversal — which production shapes always use
+    but the short-l grad test above never reaches."""
+    from vm_asr_tpu.ops import selective_scan_fused as ssf
+
+    b, l, k, d = 2, 700, 4, 40  # 700 > 512 ⇒ 2 chunks (with padding)
+    kd = k * d
+    u = jnp.asarray(rng.standard_normal((b, l, kd)).astype(np.float32))
+    dts = jnp.asarray(rng.standard_normal((b, l, kd)).astype(np.float32) * 0.5)
+    bs = jnp.asarray(rng.standard_normal((b, l, k)).astype(np.float32))
+    cs = jnp.asarray(rng.standard_normal((b, l, k)).astype(np.float32))
+    a = -jnp.asarray(rng.random(kd).astype(np.float32) * 2)
+    bias = jnp.asarray(rng.standard_normal(kd).astype(np.float32) * 0.2)
+    dsk = jnp.asarray(rng.standard_normal(kd).astype(np.float32))
+    dy = jnp.asarray(rng.standard_normal((b, l, kd)).astype(np.float32))
+
+    _, res = ssf._fused_fwd(u, dts, bs, cs, a, bias, dsk, k, True)
+    assert res[-1].shape[1] >= 2, "need multiple chunks for this test"
+    g_kernel = ssf._fused_bwd(k, True, res, dy)
+    g_xla = ssf._fused_bwd_xla(k, True, res, dy)
+    names = ["du", "ddts", "dbs", "dcs", "dA", "dbias", "ddskip"]
+    for name, got, ref in zip(names, g_kernel, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4,
+            err_msg=f"multichunk grad mismatch: {name}",
+        )

@@ -60,6 +60,44 @@ def _pinned_class(base_cls):
     return Pinned
 
 
+def model_kwarg_pair(cfg: dict, n_dims: int = 4,
+                     low_freq_replacement: bool = True):
+    """The (reference-native, flax-native) constructor kwargs for a given
+    SIZES entry — single source of truth shared with scripts/parity_bisect."""
+    import jax.numpy as jnp
+
+    dims = [cfg["dims"] * 2**i for i in range(n_dims)]
+    common_ref = dict(
+        patch_size=4, in_chans=1, depths=list(cfg["depths"]), dims=dims,
+        ssm_d_state=1, ssm_ratio=2.0, ssm_dt_rank="auto",
+        ssm_act_layer="silu", ssm_conv=3, ssm_conv_bias=True,
+        # "v5no32" = production v5 with the force-fp32 cast disabled *outside*
+        # the scan; both this framework's kernels and TorchRefScan cast to
+        # fp32 *inside*, so the math is identical while LayerNorms stay f64
+        # (plain v5 crashes torch CPU LayerNorm with mixed f32/f64 dtypes).
+        ssm_drop_rate=0.0, ssm_init="v0", forward_type="v5no32",
+        mlp_ratio=4.0, mlp_act_layer="gelu", mlp_drop_rate=0.0, gmlp=False,
+        drop_path_rate=0.1, patch_norm=True, norm_layer="LN",
+        patchembed_version="v2", downsample_version="v1",
+        upsample_version="v1", output_version="v3", concat_skip=True,
+        n_fft=cfg["n_fft"], hop_length=cfg["hop_length"],
+        win_length=cfg["win_length"], spectro_scale="log2",
+        low_freq_replacement=low_freq_replacement,
+    )
+    common_flax = dict(
+        patch_size=4, in_chans=1, depths=cfg["depths"], dims=dims,
+        ssm_d_state=1, ssm_ratio=2.0, ssm_dt_rank="auto", ssm_act="silu",
+        ssm_conv=3, ssm_conv_bias=True, ssm_drop_rate=0.0,
+        mlp_ratio=4.0, mlp_act="gelu", mlp_drop_rate=0.0, gmlp=False,
+        drop_path_rate=0.1, patch_norm=True, patchembed_version="v2",
+        output_version="v3", concat_skip=True,
+        n_fft=cfg["n_fft"], hop_length=cfg["hop_length"],
+        win_length=cfg["win_length"], spectro_scale="log2",
+        low_freq_replacement=low_freq_replacement, dtype=jnp.float64,
+    )
+    return common_ref, common_flax
+
+
 def run_parity(model: str = "dual", size: str = "tiny", seed: int = 0,
                batch: int = 1, pin_stft: bool = False) -> Dict[str, float]:
     import jax
@@ -89,36 +127,7 @@ def run_parity(model: str = "dual", size: str = "tiny", seed: int = 0,
         cfg = SIZES["tiny5"]
         size = "tiny5"
 
-    common_ref = dict(
-        patch_size=4, in_chans=1, depths=list(cfg["depths"]),
-        dims=[cfg["dims"] * 2**i for i in range(n_dims)],
-        ssm_d_state=1, ssm_ratio=2.0, ssm_dt_rank="auto",
-        ssm_act_layer="silu", ssm_conv=3, ssm_conv_bias=True,
-        # "v5no32" = production v5 with the force-fp32 cast disabled *outside*
-        # the scan; both this framework's kernels and TorchRefScan cast to
-        # fp32 *inside*, so the math is identical while LayerNorms stay f64
-        # (plain v5 crashes torch CPU LayerNorm with mixed f32/f64 dtypes).
-        ssm_drop_rate=0.0, ssm_init="v0", forward_type="v5no32",
-        mlp_ratio=4.0, mlp_act_layer="gelu", mlp_drop_rate=0.0, gmlp=False,
-        drop_path_rate=0.1, patch_norm=True, norm_layer="LN",
-        patchembed_version="v2", downsample_version="v1",
-        upsample_version="v1", output_version="v3", concat_skip=True,
-        n_fft=cfg["n_fft"], hop_length=cfg["hop_length"],
-        win_length=cfg["win_length"], spectro_scale="log2",
-        low_freq_replacement=True,
-    )
-    common_flax = dict(
-        patch_size=4, in_chans=1, depths=cfg["depths"],
-        dims=[cfg["dims"] * 2**i for i in range(n_dims)],
-        ssm_d_state=1, ssm_ratio=2.0, ssm_dt_rank="auto", ssm_act="silu",
-        ssm_conv=3, ssm_conv_bias=True, ssm_drop_rate=0.0,
-        mlp_ratio=4.0, mlp_act="gelu", mlp_drop_rate=0.0, gmlp=False,
-        drop_path_rate=0.1, patch_norm=True, patchembed_version="v2",
-        output_version="v3", concat_skip=True,
-        n_fft=cfg["n_fft"], hop_length=cfg["hop_length"],
-        win_length=cfg["win_length"], spectro_scale="log2",
-        low_freq_replacement=True, dtype=jnp.float64,
-    )
+    common_ref, common_flax = model_kwarg_pair(cfg, n_dims)
 
     if model == "dual":
         ref = build_reference_model(

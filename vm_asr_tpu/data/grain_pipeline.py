@@ -109,11 +109,19 @@ class GrainPipeline:
         )
 
         members: List[dict] = []
+        yielded = 0
+        target = len(self)
         for rec in loader:
             members.append(rec)
             if len(members) == self.batch_size:
                 yield self._collate(members)
                 members = []
+                yielded += 1
+                if self.drop_last and yielded == target:
+                    # Stop consuming: the (shuffled) tail records would only
+                    # be degraded and discarded. Workers may have prefetched
+                    # a handful — bounded waste, unlike a full extra pass.
+                    break
         if members and not self.drop_last:
             yield self._collate(members)
 

@@ -53,14 +53,16 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.vm_f32_to_pcm16.restype = None
     lib.vm_f32_to_pcm16.argtypes = [f32p, ctypes.c_int64, i16p]
 
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    i32pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
-    ip = ctypes.POINTER(ctypes.c_int)
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    lib.vm_flac_decode.restype = ctypes.c_int
-    lib.vm_flac_decode.argtypes = [u8p, ctypes.c_int64, i32pp, i64p, ip, ip, ip]
-    lib.vm_flac_free.restype = None
-    lib.vm_flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+    if hasattr(lib, "vm_flac_decode"):  # absent in pre-flac builds of the .so
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
+        ip = ctypes.POINTER(ctypes.c_int)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.vm_flac_decode.restype = ctypes.c_int
+        lib.vm_flac_decode.argtypes = [u8p, ctypes.c_int64, i32pp, i64p,
+                                       ip, ip, ip]
+        lib.vm_flac_free.restype = None
+        lib.vm_flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
     _LIB = lib
     return _LIB
 
@@ -120,9 +122,10 @@ def decode_flac(path_or_bytes) -> tuple:
     flac→wav conversion (data_loaders.py:151-246).
     """
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "vm_flac_decode"):
         raise RuntimeError(
-            "native FLAC decoder unavailable — build it with native/build.sh"
+            "native FLAC decoder unavailable — (re)build it with "
+            "native/build.sh"
         )
     if isinstance(path_or_bytes, (bytes, bytearray)):
         blob = bytes(path_or_bytes)

@@ -67,8 +67,13 @@ def selective_scan(
 
         seq = P("dp", None, "mp", None)
         par = P("mp", None)
+        # The N=1 fused-kernel eligibility must reflect the *global* lane
+        # width, not the per-shard one — otherwise sharding a mid-size stage
+        # silently downgrades every shard to the XLA scan.
+        d_inner = u.shape[-1]
         local = functools.partial(
-            _selective_scan_local, delta_softplus=delta_softplus, impl=impl
+            _selective_scan_local, delta_softplus=delta_softplus, impl=impl,
+            fused_lane_ok=(k * d_inner >= 128),
         )
         return jax.shard_map(
             local,
@@ -86,6 +91,7 @@ def selective_scan(
 def _selective_scan_local(
     u, dts, A, Bs, Cs, D_skip=None, dt_bias=None,
     delta_softplus: bool = True, impl: Optional[str] = None,
+    fused_lane_ok: Optional[bool] = None,
 ):
     impl = impl or default_impl()
     in_dtype = u.dtype
@@ -101,8 +107,13 @@ def _selective_scan_local(
         and D_skip is not None
         and dt_bias is not None
         # Tiny channel counts (e.g. the output head's K·D = 8) would pad the
-        # lane axis 16×; XLA's associative scan handles those better.
-        and (k * d >= 128 or impl == "interpret")
+        # lane axis 16×; XLA's associative scan handles those better. Under
+        # the mp shard_map the caller passes the global-geometry verdict.
+        and (
+            fused_lane_ok
+            if fused_lane_ok is not None
+            else (k * d >= 128 or impl == "interpret")
+        )
     ):
         # Activations keep their dtype (bf16 inputs halve HBM traffic); the
         # kernel upcasts in-register and scans in fp32.
