@@ -70,3 +70,47 @@ def test_discriminator_forward_parity(kind):
     r = _run(kind)
     assert r["rel"] < 1e-3, r
     assert r["fmap_max_abs"] < 1e-3, r
+
+
+def test_load_torch_checkpoint_roundtrip(tmp_path):
+    """The user-facing .pth import path: a reference-style checkpoint blob
+    ({name, epoch, state_dict, ...}, base_trainer.py:130-179) converts into
+    a flax params tree with the expected roots and shapes."""
+    import subprocess
+    import textwrap
+
+    script = textwrap.dedent("""
+        import json, sys, torch
+        from vm_asr_tpu.compat.ref_loader import build_reference_model
+        from vm_asr_tpu.compat.torch_port import load_torch_checkpoint
+
+        torch.manual_seed(0)
+        m = build_reference_model(
+            "DualStreamInteractiveMambaUNet",
+            patch_size=4, in_chans=1, depths=[1, 1, 1, 1], dims=[8, 16, 32, 64],
+            ssm_d_state=1, ssm_ratio=2.0, ssm_dt_rank="auto",
+            ssm_act_layer="silu", ssm_conv=3, ssm_conv_bias=True,
+            ssm_drop_rate=0.0, ssm_init="v0", forward_type="v5",
+            mlp_ratio=4.0, mlp_act_layer="gelu", mlp_drop_rate=0.0, gmlp=False,
+            drop_path_rate=0.1, patch_norm=True, norm_layer="LN",
+            patchembed_version="v2", downsample_version="v1",
+            upsample_version="v1", output_version="v3", concat_skip=True,
+            interact="dual", n_fft=64, hop_length=16, win_length=64,
+            spectro_scale="log2", low_freq_replacement=True,
+        )
+        path = sys.argv[1]
+        torch.save({"name": "G", "epoch": 3, "state_dict": m.state_dict(),
+                    "monitor_best": 0.5}, path)
+        tree = load_torch_checkpoint(path)
+        assert set(tree) == {"core_mag", "core_phase"}, sorted(tree)
+        k = tree["core_mag"]["patch_embed"]["conv1"]["kernel"]
+        assert k.shape == (3, 3, 1, 4), k.shape
+        print(json.dumps({"ok": True}))
+    """)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path / "ckpt-best-G.pth")],
+        cwd=REPO, env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.strip().splitlines()[-1])["ok"]
