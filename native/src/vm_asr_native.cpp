@@ -50,29 +50,52 @@ int gcd_int(int a, int b) {
 // half_len = 10 * max(up, down); taps = 2*half_len + 1;
 // ideal low-pass at cutoff 1/max(up, down), Kaiser beta = 5.0,
 // scaled by `up` so the DC gain after zero-stuffing is 1.
-std::vector<double> design_resample_fir(int up, int down) {
-  const int max_rate = std::max(up, down);
-  const int half = 10 * max_rate;
-  const int n = 2 * half + 1;
-  const double fc = 1.0 / max_rate;  // normalised to Nyquist
-  const double beta = 5.0;
-  const double denom = bessel_i0(beta);
-  std::vector<double> h(n);
-  double dc = 0.0;
-  for (int i = 0; i < n; ++i) {
-    const double m = i - half;
-    // sinc low-pass
-    double v = (m == 0) ? fc : std::sin(M_PI * fc * m) / (M_PI * m);
-    // Kaiser window
-    const double r = 2.0 * i / (n - 1) - 1.0;
-    v *= bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - r * r))) / denom;
-    h[i] = v;
-    dc += v;
+//
+// Everything except that final `up` scale depends ONLY on max(up, down) —
+// and VM-ASR's degradation resamples 48k→sr_in→48k with random integer
+// sr_in, so max(up, down) is the constant TARGET_SR for every call while
+// (up, down) is a fresh coprime pair each time. Designing the ~1M-tap
+// prototype per pair cost ~40 ms/sample (and a per-pair cache would grow
+// 7.7 MB per distinct SR); caching the *unscaled* prototype by max_rate
+// reduces the per-call work to one O(taps) scale pass (~1 ms).
+struct FirPrototype {
+  std::vector<double> h;  // unscaled sinc×Kaiser taps
+  double dc;              // their sum (firwin's normaliser)
+};
+
+const FirPrototype& fir_prototype(int max_rate) {
+  static std::map<int, FirPrototype> cache;
+  static std::mutex mu;
+  std::lock_guard<std::mutex> lock(mu);
+  auto& entry = cache[max_rate];
+  if (entry.h.empty()) {
+    const int half = 10 * max_rate;
+    const int n = 2 * half + 1;
+    const double fc = 1.0 / max_rate;  // normalised to Nyquist
+    const double beta = 5.0;
+    const double denom = bessel_i0(beta);
+    entry.h.resize(n);
+    entry.dc = 0.0;
+    for (int i = 0; i < n; ++i) {
+      const double m = i - half;
+      double v = (m == 0) ? fc : std::sin(M_PI * fc * m) / (M_PI * m);
+      const double r = 2.0 * i / (n - 1) - 1.0;
+      v *= bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - r * r))) / denom;
+      entry.h[i] = v;
+      entry.dc += v;
+    }
   }
+  return entry;
+}
+
+std::vector<double> design_resample_fir(int up, int down) {
+  const FirPrototype& proto = fir_prototype(std::max(up, down));
   // firwin normalises the DC gain to exactly 1; resample_poly then scales
-  // by `up` to undo zero-stuffing attenuation.
-  const double scale = up / dc;
-  for (int i = 0; i < n; ++i) h[i] *= scale;
+  // by `up` to undo zero-stuffing attenuation. Same single multiply as the
+  // previous per-pair design — outputs are bit-identical.
+  const double scale = up / proto.dc;
+  std::vector<double> h(proto.h.size());
+  for (size_t i = 0; i < h.size(); ++i) h[i] = proto.h[i] * scale;
   return h;
 }
 
@@ -98,18 +121,13 @@ int64_t vm_resample_poly(const float* x, int64_t n_in, int up_in, int down_in,
     std::memcpy(out, x, sizeof(float) * n_in);
     return n_in;
   }
-  // FIR design is O(taps) Bessel evaluations — cache per (up, down).
-  static std::map<std::pair<int, int>, std::vector<double>> cache;
-  static std::mutex cache_mu;
-  const double* h;
-  int64_t n_taps;
-  {
-    std::lock_guard<std::mutex> lock(cache_mu);
-    auto& entry = cache[{up, down}];
-    if (entry.empty()) entry = design_resample_fir(up, down);
-    h = entry.data();
-    n_taps = static_cast<int64_t>(entry.size());
-  }
+  // The expensive design work is cached by max(up, down) inside
+  // design_resample_fir; per call we only pay the O(taps) scale. (A
+  // per-(up, down) cache would grow without bound under random-SR
+  // degradation: 7.7 MB per distinct pair.)
+  const std::vector<double> h_vec = design_resample_fir(up, down);
+  const double* h = h_vec.data();
+  const int64_t n_taps = static_cast<int64_t>(h_vec.size());
   const int64_t half = (n_taps - 1) / 2;
   const int64_t n_out = (n_in * up + down - 1) / down;
 

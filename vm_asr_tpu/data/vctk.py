@@ -228,11 +228,23 @@ class SyntheticVCTK:
         self.sr = sr
         self.duration = duration
         self.seed = seed + (0 if training else 10_000)
+        self._cache: Dict[int, Tuple[np.ndarray, int, str]] = {}
 
     def __len__(self) -> int:
         return self.n_items
 
     def load(self, i: int) -> Tuple[np.ndarray, int, str]:
+        # Deterministic per index — memoise (the 40-partial synthesis costs
+        # ~50 ms, which would dominate smoke-training epochs; the real
+        # dataset's disk read is ~1 ms).
+        if i in self._cache:
+            return self._cache[i]
+        out = self._synthesise(i)
+        if len(self._cache) < 4096:
+            self._cache[i] = out
+        return out
+
+    def _synthesise(self, i: int) -> Tuple[np.ndarray, int, str]:
         rng = np.random.default_rng(self.seed + i)
         t = np.arange(int(self.sr * self.duration)) / self.sr
         f0 = rng.uniform(100.0, 300.0)
