@@ -51,10 +51,10 @@ def main():
         y = forward(params, x, hf)
         return x + 1e-6 * y
 
-    # warmup: compile, then a full discarded timing loop — the remote-TPU
-    # tunnel's first burst of executions runs far below steady state.
+    # warmup: compile, then two full discarded timing loops — the remote-TPU
+    # tunnel's first bursts of executions run far below steady state.
     chained(params, x, hf).block_until_ready()
-    for _ in range(20):
+    for _ in range(40):
         x = chained(params, x, hf)
     x.block_until_ready()
 
