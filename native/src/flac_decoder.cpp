@@ -229,10 +229,6 @@ struct StreamInfo {
 
 const int kBlockSizes[16] = {0,    192,  576,  1152, 2304, 4608, -1,   -2,
                              256,  512,  1024, 2048, 4096, 8192, 16384, 32768};
-const int kSampleRates[16] = {0,     88200, 176400, 192000, 8000,  16000,
-                              22050, 24000, 32000,  44100,  48000, 96000,
-                              -1,    -2,    -3,     0};
-
 }  // namespace
 
 extern "C" {
