@@ -41,6 +41,35 @@ def check_scan_equivalence(impl: str) -> None:
     assert fwd_diff < 1e-4 and da < 1e-3 and db < 1e-3
 
 
+def check_fused_backward(impl: str) -> None:
+    """Fused backward kernel vs the replay-through-XLA oracle on the
+    compiled backend, across chunk boundaries (counterpart of the CUDA
+    bwd-vs-reference grid in test_selective_scan.py:545-563)."""
+    from vm_asr_tpu.ops import selective_scan_fused as ssf
+
+    rng = np.random.default_rng(2)
+    b, l, k, d = 2, 1500, 4, 32  # > 2 chunks at the default chunking
+    kd = k * d
+    u = jnp.asarray(rng.standard_normal((b, l, kd)).astype(np.float32))
+    dts = jnp.asarray(rng.standard_normal((b, l, kd)).astype(np.float32) * 0.5)
+    bs = jnp.asarray(rng.standard_normal((b, l, k)).astype(np.float32))
+    cs = jnp.asarray(rng.standard_normal((b, l, k)).astype(np.float32))
+    a = -jnp.asarray(rng.random(kd).astype(np.float32) * 2)
+    bias = jnp.asarray(rng.standard_normal(kd).astype(np.float32) * 0.2)
+    dsk = jnp.asarray(rng.standard_normal(kd).astype(np.float32))
+    dy = jnp.asarray(rng.standard_normal((b, l, kd)).astype(np.float32))
+
+    interp = impl == "interpret"
+    _, res = ssf._fused_fwd(u, dts, bs, cs, a, bias, dsk, k, interp)
+    worst = 0.0
+    for got, ref in zip(ssf._fused_bwd(k, interp, res, dy),
+                        ssf._fused_bwd_xla(k, interp, res, dy)):
+        scale = max(float(jnp.abs(ref).max()), 1e-9)
+        worst = max(worst, float(jnp.abs(got - ref).max()) / scale)
+    print(f"[fused bwd {impl}] worst grad rel|Δ|={worst:.2e}")
+    assert worst < 1e-3
+
+
 def check_cross_scan() -> None:
     """Adjointness + grad test (counterpart of check_csm_triton,
     vmamba.py:2558-2724)."""
@@ -94,6 +123,7 @@ def main(argv=None) -> int:
 
     impl = "pallas" if jax.default_backend() != "cpu" else "interpret"
     check_scan_equivalence(impl)
+    check_fused_backward(impl)
     check_cross_scan()
     if not args.skip_bench:
         bench_scan()
