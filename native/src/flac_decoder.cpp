@@ -311,6 +311,8 @@ int vm_flac_decode(const uint8_t* buf, int64_t len, int32_t** out,
       br.read_bits(8);
     else if (sr_code == 13 || sr_code == 14)
       br.read_bits(16);
+    else if (sr_code == 15)
+      return 6;  // invalid per spec — fail at the header, not downstream
 
     int bps;
     switch (sz_code) {

@@ -55,6 +55,22 @@ def test_seq_sharded_with_dp_axis(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_seq_sharded_long_l_grads_finite(rng):
+    """Regression: at L>=~1k the masked-lane exponent overflowed exp() to
+    inf and the VJP produced NaN grads (inf*0). Mask-before-exp fix."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    args = _inputs(rng, b=1, l=1024, k=1, d=4)
+    mesh = make_mesh(dp=1, mp=4, devices=jax.devices()[:4])
+
+    def loss(*a):
+        return jnp.sum(seq_sharded_selective_scan(*a, mesh=mesh, axis="mp"))
+
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5, 6)))(*args)
+    for name, g in zip(["u", "dts", "A", "Bs", "Cs", "D", "bias"], grads):
+        assert bool(jnp.all(jnp.isfinite(g))), f"non-finite grad: {name}"
+
+
 def test_seq_sharded_gradients(rng):
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")

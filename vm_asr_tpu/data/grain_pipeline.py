@@ -111,19 +111,31 @@ class GrainPipeline:
         members: List[dict] = []
         yielded = 0
         target = len(self)
-        for rec in loader:
-            members.append(rec)
-            if len(members) == self.batch_size:
+        it = iter(loader)
+        try:
+            for rec in it:
+                members.append(rec)
+                if len(members) == self.batch_size:
+                    yield self._collate(members)
+                    members = []
+                    yielded += 1
+                    if self.drop_last and yielded == target:
+                        # Stop consuming: the (shuffled) tail records would
+                        # only be degraded and discarded. Workers may have
+                        # prefetched a handful — bounded waste, unlike a
+                        # full extra pass.
+                        break
+            if members and not self.drop_last:
                 yield self._collate(members)
-                members = []
-                yielded += 1
-                if self.drop_last and yielded == target:
-                    # Stop consuming: the (shuffled) tail records would only
-                    # be degraded and discarded. Workers may have prefetched
-                    # a handful — bounded waste, unlike a full extra pass.
-                    break
-        if members and not self.drop_last:
-            yield self._collate(members)
+        finally:
+            # Breaking mid-stream abandons the iterator; its multiprocess
+            # workers are otherwise only reclaimed at GC. Close it
+            # deterministically so per-epoch loaders don't accumulate
+            # worker processes over a long training.
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()
+            del it
 
     @staticmethod
     def _collate(members: List[dict]) -> Batch:

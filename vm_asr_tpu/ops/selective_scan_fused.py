@@ -41,6 +41,7 @@ replaces the old replay-through-XLA path's ~10 array passes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .linear_recurrence import _chunk_scan, _lr_impl
+
+
+# Backward-path selector, read ONCE at import: the custom_vjp backward is
+# traced once and cached under jit, so flipping the env var mid-process
+# would be silently ignored — set VM_ASR_SCAN_BWD before importing.
+_SCAN_BWD_MODE = os.environ.get("VM_ASR_SCAN_BWD", "fused")
 
 
 def _cdiv(a, b):
@@ -418,9 +425,7 @@ def _fused_fwd(u, dts, bs, cs, a_neg, dt_bias, d_skip, k_group, interpret):
 
 
 def _fused_bwd(k_group, interpret, res, dy):
-    import os
-
-    if os.environ.get("VM_ASR_SCAN_BWD", "fused") == "xla":
+    if _SCAN_BWD_MODE == "xla":
         # Debug/benchmark escape hatch to the replay-through-XLA backward.
         return _fused_bwd_xla(k_group, interpret, res, dy)
     u, dts, bs, cs, a_neg, dt_bias, d_skip, ckpt = res

@@ -100,9 +100,15 @@ def seq_sharded_selective_scan(
         cums = jnp.cumsum(all_logp, axis=0)  # inclusive over shards
         # Σ_{r≤me-1} − Σ_{r≤s} = logp over (s, me)
         upto_prev = jnp.where(me > 0, cums[me - 1], jnp.zeros_like(cums[0]))
-        weights = jnp.exp(upto_prev[None] - cums)        # (n_sh, B, KD)
+        # Mask BEFORE exponentiating: on shards s >= me the exponent
+        # upto_prev - cums[s] is positive and grows with per-shard L, so
+        # exp() overflows to inf at L ≳ 1k. The forward's where would
+        # discard the inf, but the VJP then sees inf·0 = NaN. With -inf
+        # in the masked lanes, exp gives exactly 0 in both passes.
         mask = (shard_ids < me)[:, None, None]
-        h_off = jnp.sum(jnp.where(mask, all_fin * weights, 0.0), axis=0)
+        exponent = jnp.where(mask, upto_prev[None] - cums, -jnp.inf)
+        weights = jnp.exp(exponent)                      # (n_sh, B, KD)
+        h_off = jnp.sum(all_fin * weights, axis=0)
         h_off = h_off.reshape(bsz, 1, kk, dd)
 
         corr = jnp.exp(logcum) * h_off                   # (B, L, K, D)
