@@ -311,6 +311,229 @@ def run_disc_parity(kind: str = "mpd", seed: int = 0) -> Dict[str, float]:
     }
 
 
+def run_grad_parity(size: str = "tiny", seed: int = 0, batch: int = 2,
+                    topk: int = 5) -> Dict[str, float]:
+    """Training-step gradient parity vs the reference.
+
+    Computes the FULL generator loss of the flagship GAN config — L1 +
+    multi-resolution STFT + MPD adversarial + feature-matching (reference
+    trainer/trainer.py:318-438 assembly, model/loss.py) — in float64 on CPU
+    in both frameworks on the same batch with ported weights, and compares
+    EVERY generator parameter gradient. Also compares one discriminator
+    step: d(discriminator_loss)/d(MPD params).
+
+    Gradient mapping: ``state_dict_to_flax`` is a per-leaf layout bijection
+    (transposes/reshapes), so the same conversion maps torch grads into the
+    flax tree. For the spectral-normed MPD the flax kernel stores the
+    *effective* weight W/σ while torch differentiates w.r.t. the raw W
+    (parametrizations.weight.original); with converged power iterations the
+    chain rule gives  grad_flax_kernel = σ · grad_torch_original  per layer
+    (σ = ‖W‖_F/‖W/σ‖_F), which is applied before comparing.
+
+    Returns worst-leaf relative errors; per-leaf scale is that leaf's
+    max |grad| floored at 1e-6 × the tree-wide max (tiny-gradient leaves
+    otherwise divide rounding noise by ~0).
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from .. import losses as L
+    from ..models.discriminator import MultiPeriodDiscriminator
+    from ..models.unet import DualStreamInteractiveMambaUNet
+    from .ref_loader import build_reference_model, load_reference_modules
+    from .torch_port import disc_variables_from_torch, state_dict_to_flax
+
+    cfg = SIZES[size]
+    torch.manual_seed(seed)
+    torch.set_default_dtype(torch.float64)
+
+    common_ref, common_flax = model_kwarg_pair(cfg, 4)
+    ref = build_reference_model(
+        "DualStreamInteractiveMambaUNet", interact="dual", **common_ref
+    )
+    fx = DualStreamInteractiveMambaUNet(interact="dual", **common_flax)
+
+    load_reference_modules()
+    import model.discriminator as ref_disc  # noqa: resolved in the ref tree
+    import model.loss as ref_loss  # noqa: resolved in the ref tree
+
+    if size == "prod":
+        periods, hidden = (2, 3, 5, 7, 11), 32  # config.py MPD defaults
+        res = ((1024, 2048, 512), (120, 240, 50), (600, 1200, 240))
+    else:
+        periods, hidden = (2, 3, 5), 8
+        # production STFT-loss resolutions scaled to the tiny clip length
+        # (torch.stft center-pads n_fft//2, which must stay < T)
+        res = ((256, 512, 128), (30, 60, 12), (150, 300, 60))
+    ref_mpd = ref_disc.MultiPeriodDiscriminator(hidden=hidden,
+                                                periods=list(periods))
+    fx_mpd = MultiPeriodDiscriminator(hidden=hidden, periods=periods,
+                                      dtype=jnp.float64)
+
+    # Batch: same boundary-doctored waveform construction as run_parity
+    # (the phase stream's angle() is FFT-convention-fragile at boundary
+    # frames). The target never passes through angle() — any signal works.
+    t = cfg["samples"]
+    x = torch.randn(batch, 1, t)
+    alt = torch.pow(torch.tensor(-1.0), torch.arange(t, dtype=torch.float64))
+    x = x + (x.abs().max() + 1.0) * alt
+    x[..., : cfg["n_fft"]] = 0.0
+    x[..., -cfg["n_fft"]:] = 0.0
+    y = 0.8 * x + 0.1 * torch.randn(batch, 1, t)
+    freqs = cfg["n_fft"] // 2
+    hf = torch.tensor([max(2, freqs // 3) + i for i in range(batch)])
+
+    # Converge spectral-norm power iterations on the torch side, then port.
+    warm = torch.randn(1, 1, 256)
+    ref_mpd.train()
+    with torch.no_grad():
+        for _ in range(300):
+            ref_mpd(warm, warm)
+    ref_mpd.eval()
+    ref.eval()
+
+    mr_stft = ref_loss.MultiResolutionSTFTLoss(
+        fft_sizes=list(res[0]), hop_sizes=list(res[1]),
+        win_lengths=list(res[2]), factor_sc=0.5, factor_mag=0.5,
+    )
+    hgl = ref_loss.HiFiGANLoss("lsgan")
+    feat_lambda = 100.0  # config.py FEATURE_LOSS_LAMBDA default
+
+    # ---- torch: full generator loss + backward --------------------------
+    wave_ref = ref(x, hf)
+    l1_r = ref_loss.mae_loss(wave_ref, y)
+    sc_r, mag_r = mr_stft(wave_ref.squeeze(1), y.squeeze(1))
+    _, y_g, f_r, f_g = ref_mpd(y, wave_ref)
+    adv_r = hgl.generator_loss(y_g)
+    feat_r = feat_lambda * hgl.feature_loss(f_r, f_g)
+    total_r = l1_r + sc_r + mag_r + adv_r + feat_r
+    ref.zero_grad()
+    total_r.backward()
+    grad_sd = {
+        k: (p.grad if p.grad is not None else torch.zeros_like(p))
+        for k, p in ref.named_parameters()
+    }
+
+    # ---- torch: discriminator step + backward ---------------------------
+    y_r2, y_g2, _, _ = ref_mpd(y, wave_ref.detach())
+    d_loss_r = hgl.discriminator_loss(y_r2, y_g2)
+    for p in ref_mpd.parameters():
+        p.grad = None
+    d_loss_r.backward()
+
+    # ---- flax: same losses via jax.grad ---------------------------------
+    params = state_dict_to_flax(ref.state_dict(), dtype=jnp.float64)
+    xj = jnp.asarray(x.numpy(), dtype=jnp.float64)
+    yj = jnp.asarray(y.numpy(), dtype=jnp.float64)
+    hfj = jnp.asarray(hf.numpy())
+
+    template = fx_mpd.init(jax.random.PRNGKey(0), yj, yj, update_stats=True)
+    disc_vars = disc_variables_from_torch(ref_mpd, template)
+    warm_j = jnp.asarray(warm.numpy())
+    for _ in range(300):
+        _, mut = fx_mpd.apply(disc_vars, warm_j, warm_j,
+                              update_stats=True, mutable=["batch_stats"])
+        disc_vars = {"params": disc_vars["params"], **mut}
+
+    stft_kw = dict(fft_sizes=res[0], hop_sizes=res[1], win_lengths=res[2],
+                   factor_sc=0.5, factor_mag=0.5)
+
+    def gen_loss(p):
+        wave = fx.apply({"params": p}, xj, hfj, deterministic=True)
+        l1 = L.mae_loss(wave, yj)
+        sc, mag = L.multi_resolution_stft_loss(wave[:, 0], yj[:, 0], **stft_kw)
+        _, yg, fr, fg = fx_mpd.apply(disc_vars, yj, wave, update_stats=False)
+        adv = L.generator_adversarial_loss(yg, "lsgan")
+        feat = feat_lambda * L.feature_matching_loss(fr, fg)
+        return l1 + sc + mag + adv + feat, (l1, sc + mag, adv, feat)
+
+    (total_f, terms_f), g_fx = jax.value_and_grad(gen_loss, has_aux=True)(params)
+
+    wave_fx = fx.apply({"params": params}, xj, hfj, deterministic=True)
+
+    def d_loss_fn(dp):
+        v = {"params": dp, "batch_stats": disc_vars["batch_stats"]}
+        yr, yg, _, _ = fx_mpd.apply(v, yj, jax.lax.stop_gradient(wave_fx),
+                                    update_stats=False)
+        return L.discriminator_loss(yr, yg, "lsgan")
+
+    d_loss_f, gd_fx = jax.value_and_grad(d_loss_fn)(disc_vars["params"])
+
+    # ---- compare generator grads ---------------------------------------
+    from flax.traverse_util import flatten_dict
+
+    g_ref_tree = state_dict_to_flax(grad_sd, dtype=jnp.float64)
+    flat_ref = flatten_dict(g_ref_tree)
+    flat_fx = flatten_dict(g_fx)
+    assert set(flat_ref) == set(flat_fx), (
+        set(flat_ref) ^ set(flat_fx)
+    )
+    g_scale = max(float(jnp.abs(g).max()) for g in flat_ref.values())
+    floor = 1e-6 * g_scale
+    leaf_rows = []
+    for key in flat_ref:
+        a, b = np.asarray(flat_fx[key]), np.asarray(flat_ref[key])
+        max_abs = float(np.abs(a - b).max())
+        scale = max(float(np.abs(b).max()), floor)
+        leaf_rows.append(("/".join(key), max_abs / scale, max_abs))
+    leaf_rows.sort(key=lambda r: -r[1])
+    worst_rel = leaf_rows[0][1]
+
+    # ---- compare discriminator grads ------------------------------------
+    d_rows = []
+    d_scale = 0.0
+    for dkey, sub in gd_fx.items():  # disc_{i}
+        tdisc = ref_mpd.discriminators[int(dkey.split("_")[1])]
+        for name, leaf in sub.items():
+            layer = (tdisc.conv_post if name == "conv_post"
+                     else (getattr(tdisc, "layers", None) or tdisc.convs)[
+                         int(name.split("_")[1])])
+            w_orig = layer.parametrizations.weight.original
+            sigma = float(w_orig.detach().norm()
+                          / layer.weight.detach().norm())
+            gw = (w_orig.grad * sigma).detach().numpy()
+            gw = (gw.transpose(2, 3, 1, 0) if gw.ndim == 4
+                  else gw.transpose(2, 1, 0))
+            gb = layer.bias.grad.detach().numpy()
+            for leaf_name, got, want in (("kernel", leaf["kernel"], gw),
+                                         ("bias", leaf["bias"], gb)):
+                max_abs = float(np.abs(np.asarray(got) - want).max())
+                d_rows.append((f"{dkey}/{name}/{leaf_name}", max_abs,
+                               float(np.abs(want).max())))
+                d_scale = max(d_scale, float(np.abs(want).max()))
+    d_floor = 1e-6 * d_scale
+    d_rows = [(k, ma / max(sc, d_floor), ma) for k, ma, sc in d_rows]
+    d_rows.sort(key=lambda r: -r[1])
+
+    return {
+        "size": size,
+        "batch": batch,
+        "n_gen_leaves": len(leaf_rows),
+        "n_disc_leaves": len(d_rows),
+        "gen_loss_ref": float(total_r.item()),
+        "gen_loss_flax": float(total_f),
+        "disc_loss_ref": float(d_loss_r.item()),
+        "disc_loss_flax": float(d_loss_f),
+        "gen_worst_rel": worst_rel,
+        "gen_worst_leaves": leaf_rows[:topk],
+        # worst absolute error normalised by the tree-wide gradient scale —
+        # the per-leaf rel above divides fp32-scan-interior rounding noise
+        # (~1e-8 absolute) by small per-leaf scales; this one shows the
+        # error against the gradient magnitudes that actually drive updates
+        "gen_tree_rel": max(r[2] for r in leaf_rows) / g_scale,
+        "disc_worst_rel": d_rows[0][1],
+        "disc_worst_leaves": d_rows[:topk],
+        "disc_tree_rel": max(r[2] for r in d_rows) / max(d_scale, 1e-30),
+        "grad_scale": g_scale,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", default="dual",
@@ -322,7 +545,15 @@ def main():
                     help="drive both models from identical (torch) STFT "
                     "outputs — removes the boundary-frame ±π FFT-convention "
                     "noise (see _pinned_class)")
+    ap.add_argument("--grads", action="store_true",
+                    help="training-step gradient parity: full generator GAN "
+                    "loss + one discriminator step, every parameter grad "
+                    "compared (float64, CPU)")
     args = ap.parse_args()
+    if args.grads:
+        print(json.dumps(run_grad_parity(args.size, args.seed,
+                                         batch=args.batch)))
+        return
     if args.model in ("mpd", "msd"):
         print(json.dumps(run_disc_parity(args.model, args.seed)))
         return
