@@ -116,6 +116,11 @@ def discriminator_loss(
 ) -> jnp.ndarray:
     loss = 0.0
     for dr, dg in zip(real_scores, gen_scores):
+        # bf16 discriminators emit bf16 scores; reduce in ≥fp32 (the
+        # reference's AMP autocast runs mse-style losses in fp32 too).
+        # Promotion (not a hard cast) keeps the f64 parity harness exact.
+        dr = dr.astype(jnp.promote_types(dr.dtype, jnp.float32))
+        dg = dg.astype(jnp.promote_types(dg.dtype, jnp.float32))
         if gan_loss_type == "lsgan":
             loss = loss + jnp.mean((dr - 1.0) ** 2) + jnp.mean(dg**2)
         else:  # wgan / wgan-gp
@@ -128,6 +133,7 @@ def generator_adversarial_loss(
 ) -> jnp.ndarray:
     loss = 0.0
     for dg in gen_scores:
+        dg = dg.astype(jnp.promote_types(dg.dtype, jnp.float32))
         if gan_loss_type == "lsgan":
             loss = loss + jnp.mean((1.0 - dg) ** 2)
         else:
@@ -142,7 +148,8 @@ def feature_matching_loss(fmap_real, fmap_gen) -> jnp.ndarray:
     count = 0
     for dr, dg in zip(fmap_real, fmap_gen):
         for rl, gl in zip(dr, dg):
-            loss = loss + jnp.mean(jnp.abs(rl - gl))
+            acc = jnp.promote_types(rl.dtype, jnp.float32)
+            loss = loss + jnp.mean(jnp.abs(rl.astype(acc) - gl.astype(acc)))
             count += 1
     return loss / max(count, 1)
 

@@ -64,13 +64,19 @@ def get_model(config) -> Dict[str, Any]:
     models: Dict[str, Any] = {"generator": generator}
     adv = config.TRAIN.ADVERSARIAL
     if adv.ENABLE:
+        # The reference trains the discriminators under AMP autocast
+        # (trainer/trainer.py:138-139) — bf16 conv compute, fp32 params.
+        # Loss entry points upcast scores/feature-maps to fp32 (losses.py),
+        # matching autocast's fp32-listed loss ops.
         if "mpd" in adv.DISCRIMINATORS:
             models["mpd"] = MultiPeriodDiscriminator(
                 hidden=adv.MPD_HIDDEN,
                 periods=tuple(adv.get("MPD_PERIODS", [2, 3, 5, 7, 11])),
+                dtype=compute_dtype,
             )
         if "msd" in adv.DISCRIMINATORS:
             models["msd"] = MultiScaleDiscriminator(
-                hidden=adv.get("MSD_HIDDEN", 128)
+                hidden=adv.get("MSD_HIDDEN", 128),
+                dtype=compute_dtype,
             )
     return models
