@@ -73,6 +73,80 @@ def test_tester_csv_and_wavs(setup):
     assert any(w.endswith("_down.wav") for w in wavs)
 
 
+def test_tester_bounded_compiles_across_lengths(setup, tmp_path):
+    """Evaluating ≥20 distinct clip lengths must reuse a bounded program
+    set (≤5 XLA compiles) — the reference evaluates arbitrary lengths with
+    no recompilation (reference tester.py:106-140); per-segment-count
+    compiles would make a real 824-file VCTK eval compile-bound."""
+    from vm_asr_tpu.data.pipeline import Batch
+
+    c, gen, params, tmp = setup
+    seg = int(c.DATA.SEGMENT * c.DATA.TARGET_SR)
+    rng = np.random.default_rng(0)
+
+    batches = []
+    for m in range(1, 22):  # 21 distinct lengths: 1..21 segments
+        t = m * seg
+        x = rng.standard_normal((1, 1, t)).astype(np.float32) * 0.1
+        batches.append(Batch(
+            wave_input=x,
+            wave_target=x.copy(),
+            highcut=np.asarray([33], np.int32),
+            names=[f"len{m}.wav"],
+            pad_lengths=np.asarray([0], np.int32),
+        ))
+
+    class FakeLoader:
+        def __iter__(self):
+            return iter(batches)
+
+        def __len__(self):
+            return len(batches)
+
+    c2 = c.clone()
+    c2.defrost()
+    c2.TEST.SAVE_RESULT = False
+    c2.freeze()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        tester = Tester(c2, gen, params, FakeLoader(),
+                        output_dir=str(tmp_path / "res"))
+        log = tester.evaluate()
+    finally:
+        os.chdir(cwd)
+    assert np.isfinite(log["lsd"])
+    assert tester.forward._cache_size() <= 5, tester.forward._cache_size()
+
+
+def test_bucketed_forward_matches_direct():
+    """bucketed_forward must return exactly what one big forward would."""
+    from vm_asr_tpu.train.steps import bucketed_forward, segment_buckets
+
+    def raw(params, x, hf):
+        return x * params + hf[:, None, None].astype(x.dtype)
+
+    def raw_oracle(params, x, hf):
+        return x * params + hf[:, None, None].astype(x.dtype)
+
+    # NOTE: two distinct function objects — jax.jit of the same function
+    # shares one lowering cache, which would mix the oracle's raw-S shapes
+    # into fwd's count.
+    fwd = jax.jit(raw)            # fed only bucket-shaped chunks
+    direct = jax.jit(raw_oracle)  # oracle, sees the raw S shapes
+
+    rng = np.random.default_rng(1)
+    for s in (1, 2, 3, 5, 8, 11, 16, 23):
+        x = jnp.asarray(rng.standard_normal((s, 1, 32)).astype(np.float32))
+        hf = jnp.asarray(rng.integers(1, 60, (s,)).astype(np.int32))
+        got = bucketed_forward(fwd, 2.0, x, hf)
+        want = direct(2.0, x, hf)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+        assert all(b in (1, 2, 4, 8) for b in segment_buckets(s))
+    # every length reuses the same ≤4 bucket programs
+    assert fwd._cache_size() <= 4, fwd._cache_size()
+
+
 def test_get_loaders_eval_full_length(setup):
     """`--eval` must see un-truncated clips padded to a segment *multiple*
     (reference data_loaders.py:371-389) so the Tester's unfold/fold runs."""

@@ -25,7 +25,7 @@ from ..core.logging import create_logger
 from ..data.vctk import load_wav, save_wav
 from ..dsp import fold_audio, unfold_audio
 from ..dsp.degrade import resample_audio
-from .steps import make_forward_fn
+from .steps import bucketed_forward, make_forward_fn
 
 
 class Inferencer:
@@ -80,7 +80,8 @@ class Inferencer:
             return self.forward(self.params, x, hf)
         segments = unfold_audio(x, seg_len, overlap)
         s = segments.shape[2]
-        out = self.forward(
+        out = bucketed_forward(
+            self.forward,
             self.params,
             segments.reshape(s, 1, seg_len),
             jnp.broadcast_to(hf, (s,)),

@@ -197,3 +197,49 @@ def make_forward_fn(generator) -> Callable:
         return generator.apply({"params": params}, x, hf, deterministic=True)
 
     return forward
+
+
+# Segment-batch bucket sizes for variable-length inference. XLA compiles one
+# program per input shape, and a real eval set (VCTK: 824 files) has hundreds
+# of distinct clip lengths ⇒ distinct segment counts S — compiling per S
+# would make evaluation compile-bound. The reference evaluates arbitrary
+# lengths with no recompilation because it loops per segment
+# (reference tester.py:106-140); here segments run in batch-8 chunks with the
+# tail padded up to the next bucket, so AT MOST len(_SEG_BUCKETS) programs
+# cover every possible clip length.
+_SEG_BUCKETS = (1, 2, 4, 8)
+
+
+def segment_buckets(num_segments: int):
+    """The bucket sizes a `num_segments`-segment clip runs through."""
+    used, i = set(), 0
+    while i < num_segments:
+        rem = min(num_segments - i, _SEG_BUCKETS[-1])
+        b = next(x for x in _SEG_BUCKETS if x >= rem)
+        used.add(b)
+        i += rem
+    return used
+
+
+def bucketed_forward(forward, params, seg_batch, hf_batch) -> Any:
+    """Run S segments through at most ``len(_SEG_BUCKETS)`` XLA programs.
+
+    seg_batch: (S, 1, seg_len); hf_batch: (S,). Tail chunks are zero-padded
+    up to the bucket size (hf edge-padded) and the padded outputs dropped.
+    """
+    import jax.numpy as jnp
+
+    s = seg_batch.shape[0]
+    outs = []
+    i = 0
+    while i < s:
+        rem = min(s - i, _SEG_BUCKETS[-1])
+        b = next(x for x in _SEG_BUCKETS if x >= rem)
+        chunk = seg_batch[i:i + rem]
+        hfc = hf_batch[i:i + rem]
+        if rem < b:
+            chunk = jnp.pad(chunk, ((0, b - rem), (0, 0), (0, 0)))
+            hfc = jnp.pad(hfc, ((0, b - rem),), mode="edge")
+        outs.append(forward(params, chunk, hfc)[:rem])
+        i += rem
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
