@@ -70,6 +70,86 @@ def check_fused_backward(impl: str) -> None:
     assert worst < 1e-3
 
 
+def check_kernel_grid(impl: str) -> None:
+    """Reference-grade kernel grid on the compiled backend: dtype
+    {fp32, bf16} × L {64, 500, 777, 2048, 4096, 16384} × chunk {256, 512},
+    forward vs the jnp reference and backward vs the replay-through-XLA
+    oracle (counterpart of the reference's parametrized sweep,
+    kernels/selective_scan/test_selective_scan.py:545-563). Output is
+    captured as CHECKS_r{N}.txt artifacts."""
+    from vm_asr_tpu.ops import selective_scan_fused as ssf
+    from vm_asr_tpu.ops.scan_api import selective_scan
+
+    interp = impl == "interpret"
+    rng = np.random.default_rng(3)
+    k, d = 4, 32
+    kd = k * d
+    worst_fwd = worst_bwd = 0.0
+    for l in (64, 500, 777, 2048, 4096, 16384):
+        # reference forward at this geometry (fp32, unfused path)
+        u4 = jnp.asarray(rng.standard_normal((1, l, k, d)).astype(np.float32))
+        dt4 = jnp.asarray(
+            rng.standard_normal((1, l, k, d)).astype(np.float32) * 0.5)
+        A = -jnp.asarray(rng.random((k, d, 1)).astype(np.float32) * 2)
+        Bs = jnp.asarray(rng.standard_normal((1, l, k, 1)).astype(np.float32))
+        Cs = jnp.asarray(rng.standard_normal((1, l, k, 1)).astype(np.float32))
+        Dk = jnp.asarray(rng.standard_normal((k, d)).astype(np.float32))
+        bias = jnp.asarray(
+            rng.standard_normal((k, d)).astype(np.float32) * 0.2)
+        ref = np.asarray(
+            selective_scan(u4, dt4, A, Bs, Cs, Dk, bias, True, impl="ref"),
+            np.float32,
+        )
+        dy = jnp.asarray(rng.standard_normal((1, l, kd)).astype(np.float32))
+
+        for dtype in (jnp.float32, jnp.bfloat16):
+            uf = u4.reshape(1, l, kd).astype(dtype)
+            dtf = dt4.reshape(1, l, kd).astype(dtype)
+            bsf = Bs[..., 0].astype(dtype)
+            csf = Cs[..., 0].astype(dtype)
+            af = A[..., 0].reshape(kd)
+            biasf = bias.reshape(kd)
+            dkf = Dk.reshape(kd)
+            # bf16 ref: the unfused path on the SAME quantised inputs
+            if dtype == jnp.bfloat16:
+                refd = np.asarray(selective_scan(
+                    uf.reshape(1, l, k, d), dtf.reshape(1, l, k, d), A,
+                    bsf[..., None], csf[..., None], Dk, bias, True,
+                    impl="ref"), np.float32)
+                tol = 3e-2
+            else:
+                refd, tol = ref, 1e-3
+            for chunk in (256, 512):
+                y, ckpt = ssf._fused_fwd_pallas(
+                    uf, dtf, bsf, csf, af, biasf, dkf, k,
+                    chunk=chunk, interpret=interp)
+                fdiff = float(np.abs(
+                    np.asarray(y, np.float32) - refd.reshape(1, l, kd)
+                ).max()) / max(float(np.abs(refd).max()), 1e-9)
+                worst_fwd = max(worst_fwd, fdiff)
+                assert fdiff < tol, (l, dtype, chunk, fdiff)
+
+            # backward vs the XLA-replay oracle (default chunking)
+            _, res = ssf._fused_fwd(uf, dtf, bsf, csf, af, biasf, dkf, k,
+                                    interp)
+            bdiff = 0.0
+            for got, want in zip(
+                ssf._fused_bwd(k, interp, res, dy.astype(dtype)),
+                ssf._fused_bwd_xla(k, interp, res, dy.astype(dtype)),
+            ):
+                scale = max(float(jnp.abs(want).max()), 1e-6)
+                bdiff = max(bdiff, float(jnp.abs(
+                    got.astype(jnp.float32) - want.astype(jnp.float32)
+                ).max()) / scale)
+            worst_bwd = max(worst_bwd, bdiff)
+            btol = 1e-3 if dtype == jnp.float32 else 4e-2
+            assert bdiff < btol, (l, dtype, bdiff)
+            dn = "f32" if dtype == jnp.float32 else "bf16"
+            print(f"[grid {impl}] L={l:<6} {dn:<4} "
+                  f"fwd rel|Δ|≤{fdiff:.2e} bwd rel|Δ|≤{bdiff:.2e}")
+    print(f"[grid {impl}] worst fwd={worst_fwd:.2e} bwd={worst_bwd:.2e}")
+
+
 def check_cross_scan() -> None:
     """Adjointness + grad test (counterpart of check_csm_triton,
     vmamba.py:2558-2724)."""
@@ -119,12 +199,17 @@ def bench_scan() -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("vm_asr_tpu checks")
     p.add_argument("--skip-bench", action="store_true")
+    p.add_argument("--grid", action="store_true",
+                   help="full dtype × seqlen × chunk kernel grid "
+                   "(compile-heavy; artifact CHECKS_r{N}.txt)")
     args = p.parse_args(argv)
 
     impl = "pallas" if jax.default_backend() != "cpu" else "interpret"
     check_scan_equivalence(impl)
     check_fused_backward(impl)
     check_cross_scan()
+    if args.grid:
+        check_kernel_grid(impl)
     if not args.skip_bench:
         bench_scan()
         bench_vssblock()
