@@ -71,6 +71,37 @@ def test_seq_sharded_long_l_grads_finite(rng):
         assert bool(jnp.all(jnp.isfinite(g))), f"non-finite grad: {name}"
 
 
+def test_seq_sharded_fused_kernel(rng):
+    """impl="interpret" routes each shard's scan through the FUSED Pallas
+    kernel (in interpreter mode on the CPU mesh) — per-shard fused
+    execution, forward AND grads, must match the unsharded reference."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    args = _inputs(rng, b=1, l=256, k=4, d=16)
+    ref = selective_scan(*args, True, impl="ref")
+    mesh = make_mesh(dp=1, mp=4, devices=jax.devices()[:4])
+    run = lambda *a: seq_sharded_selective_scan(
+        *a, mesh=mesh, axis="mp", impl="interpret")
+    got = jax.jit(run)(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    w = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
+    g_sh = jax.jit(jax.grad(
+        lambda *a: jnp.sum(run(*a) * w), argnums=(0, 1, 2, 3, 4, 5, 6)
+    ))(*args)
+    g_ref = jax.jit(jax.grad(
+        lambda *a: jnp.sum(selective_scan(*a, True, impl="ref") * w),
+        argnums=(0, 1, 2, 3, 4, 5, 6),
+    ))(*args)
+    for name, a, b in zip(["u", "dts", "A", "Bs", "Cs", "D", "bias"],
+                          g_sh, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"fused seq-sharded grad mismatch: {name}",
+        )
+
+
 def test_seq_sharded_gradients(rng):
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")

@@ -16,44 +16,64 @@ collective → apply): the only cross-chip traffic is the (n_shards, B, K·D)
 summary exchange, which rides ICI. Unnecessary for VM-ASR's production
 L ≤ 64k on one chip — it exists for long-audio inference and as the
 building block for models whose sequences outgrow a chip. Differentiable
-end-to-end (linear_recurrence's custom_vjp + XLA ops through shard_map).
+end-to-end: the per-shard scan carries its own custom VJP (the FUSED Pallas
+kernel on TPU via scan_api's routing; the LR kernel / XLA associative scan
+otherwise), and the boundary summaries + correction are closed-form XLA ops
+(see _local_scan_with_summary).
 
 N = 1 (the production d_state) only; general N falls back to the caller.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from .linear_recurrence import linear_recurrence
-
 
 def _local_scan_with_summary(u, dts, A, Bs, Cs, D_skip, dt_bias, impl):
-    """One shard's scan (zero init) + (h states, log-decay cumsum).
+    """One shard's scan (zero init) + (final state, log-decay cumsum).
 
     u/dts: (B, L, K, D); Bs/Cs: (B, L, K, 1); A/D_skip/dt_bias: (K, D[,1]).
-    Returns y_local, h, logcum where logcum_t = Σ_{r≤t} Δ_r·A (per channel).
+    Returns y_local, h_fin, logcum where logcum_t = Σ_{r≤t} Δ_r·A.
+
+    The heavy scan runs through ``_selective_scan_local`` — which routes the
+    production N=1 geometry onto the FUSED Pallas kernel (its custom VJP
+    included) — rather than the unfused exp/LR decomposition. The boundary
+    summaries the cross-chip exchange needs are then computed with cheap
+    closed forms instead of threading carries through the kernel:
+
+        h_fin = Σ_t exp(logp − logcum_t) · Δ_t B_t u_t      (logp = logcum_L)
+
+    where every exponent is Σ_{r>t} Δ_r·A ≤ 0 — a numerically stable
+    weighted reduction, fully XLA-fusable, and differentiable through
+    standard ops. This keeps the kernel's VJP single-purpose (the scan) and
+    lets XLA fuse the O(L) elementwise summary work into the surrounding
+    pass — the TPU analogue of the CUDA chunk-prefix exchange
+    (cus/selective_scan_fwd_kernel.cuh:101-171) lifted across chips.
     """
+    from .scan_api import _selective_scan_local
+
     b, l, k, d = u.shape
+    y = _selective_scan_local(
+        u, dts, A, Bs, Cs, D_skip, dt_bias,
+        delta_softplus=True, impl=impl,
+        # the lane-width verdict must reflect the GLOBAL geometry; L-sharding
+        # does not change K·D, so the local width is the global one
+        fused_lane_ok=(k * d >= 128 or impl == "interpret"),
+    ).astype(jnp.float32)
+
     uf = u.astype(jnp.float32)
     dt = jax.nn.softplus(
         dts.astype(jnp.float32) + dt_bias.astype(jnp.float32)[None, None]
     )
     a_log = dt * A.astype(jnp.float32)[None, None, :, :, 0]  # (B, L, K, D) ≤ 0
     bmat = dt * uf * Bs[..., 0].astype(jnp.float32)[:, :, :, None]
-    h = linear_recurrence(
-        jnp.exp(a_log).reshape(b, l, k * d),
-        bmat.reshape(b, l, k * d),
-        impl,
-    ).reshape(b, l, k, d)
-    y = h * Cs[..., 0].astype(jnp.float32)[:, :, :, None]
-    y = y + D_skip.astype(jnp.float32)[None, None] * uf
     logcum = jnp.cumsum(a_log, axis=1)  # (B, L, K, D)
-    return y, h, logcum
+    logp = logcum[:, -1:]  # (B, 1, K, D) — total shard log-decay
+    h_fin = jnp.sum(jnp.exp(logp - logcum) * bmat, axis=1)  # (B, K, D)
+    return y, h_fin, logcum
 
 
 def seq_sharded_selective_scan(
@@ -82,13 +102,13 @@ def seq_sharded_selective_scan(
         from .scan_api import default_impl
 
         im = impl_val or default_impl()
-        y, h, logcum = _local_scan_with_summary(
+        y, h_fin, logcum = _local_scan_with_summary(
             u, dts, A, Bs, Cs, D_skip, dt_bias, im
         )
         me = jax.lax.axis_index(axis)
-        bsz, ll, kk, dd = h.shape
+        bsz, ll, kk, dd = logcum.shape
         # Per-shard summary: final state and total log-decay.
-        h_fin = h[:, -1].reshape(bsz, kk * dd)
+        h_fin = h_fin.reshape(bsz, kk * dd)
         logp = logcum[:, -1].reshape(bsz, kk * dd)
         all_fin = jax.lax.all_gather(h_fin, axis)   # (n_sh, B, KD)
         all_logp = jax.lax.all_gather(logp, axis)   # (n_sh, B, KD)
