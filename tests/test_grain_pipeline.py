@@ -58,6 +58,41 @@ def test_drop_last_false():
     assert batches[-1].wave_input.shape[0] == 2
 
 
+def test_multihost_sharding_partition_and_determinism():
+    """Simulated multi-host layout (SURVEY §2.3 "DCN for multi-host input"):
+    per-host GrainPipelines with ShardOptions(i, n) must read DISJOINT,
+    exhaustive record sets per epoch, deterministically for a given seed.
+    (On a real topology shard_index/count come from jax.process_index/count;
+    here every "host" runs in-process — grain's sharding is pure index
+    arithmetic, so the layout is identical.)"""
+    sampler = _sampler()  # 10 records
+    n_hosts = 2
+
+    def names_for(shard, epoch=0):
+        pipe = GrainPipeline(sampler, batch_size=1, num_workers=0, seed=11,
+                             shard_index=shard, shard_count=n_hosts)
+        pipe.set_epoch(epoch)
+        assert len(pipe) == 5  # 10 records / 2 hosts / batch 1
+        return [b.names[0] for b in pipe]
+
+    per_host = [names_for(i) for i in range(n_hosts)]
+    flat = [n for names in per_host for n in names]
+    # disjoint + exhaustive: every record exactly once across hosts
+    assert sorted(flat) == sorted({n for n in flat})
+    assert len(flat) == 10
+    # deterministic per (seed, epoch)
+    assert per_host[0] == names_for(0)
+    # reshuffles across epochs, still a valid partition
+    e1 = [names_for(i, epoch=1) for i in range(n_hosts)]
+    assert sorted(n for ns in e1 for n in ns) == sorted(flat)
+    assert e1[0] != per_host[0]
+
+
+def test_shard_index_validation():
+    with pytest.raises(ValueError):
+        GrainPipeline(_sampler(), batch_size=1, shard_index=2, shard_count=2)
+
+
 def test_loader_factory_grain(tmp_path):
     from vm_asr_tpu.data import get_loaders
 

@@ -71,9 +71,17 @@ class GrainPipeline:
     def __init__(self, sampler: DegradingSampler, batch_size: int,
                  indices: Optional[Sequence[int]] = None, shuffle: bool = True,
                  seed: int = 123, num_workers: int = 4, drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, shard_index: int = 0,
+                 shard_count: int = 1):
+        """shard_index/shard_count: multi-host input sharding (each host
+        reads a disjoint 1/shard_count of every epoch — grain ShardOptions;
+        pass ``jax.process_index()``/``jax.process_count()`` on real
+        multi-host topologies). batch_size is the PER-HOST batch."""
         if _grain is None:
             raise RuntimeError("grain is not installed; use DataPipeline")
+        if not 0 <= shard_index < shard_count:
+            raise ValueError(f"shard_index {shard_index} not in "
+                             f"[0, {shard_count})")
         self.sampler = sampler
         self.batch_size = batch_size
         self.indices = list(indices if indices is not None
@@ -83,10 +91,14 @@ class GrainPipeline:
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self._epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.indices)
+        # ShardOptions(drop_remainder=True) gives every shard exactly
+        # n // shard_count records; batches count against the local share.
+        n = len(self.indices) // self.shard_count
         b = self.batch_size
         return n // b if self.drop_last else -(-n // b)
 
@@ -102,6 +114,14 @@ class GrainPipeline:
                 shuffle=self.shuffle,
                 num_epochs=1,
                 seed=(self.seed * 1_000_003 + self._epoch) % (2**31),
+                # Disjoint per-host partition of the epoch; all hosts must
+                # use the SAME seed so the global shuffle they partition is
+                # identical (grain shards the shuffled order).
+                shard_options=_grain.ShardOptions(
+                    shard_index=self.shard_index,
+                    shard_count=self.shard_count,
+                    drop_remainder=True,
+                ),
             ),
             operations=[_DegradeTransform(self.sampler)],
             worker_count=self.num_workers,
