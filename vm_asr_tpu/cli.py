@@ -46,6 +46,8 @@ def parse_option(argv=None):
                    help="wav file or directory for --inference")
     p.add_argument("--synthetic_data", action="store_true",
                    help="use the synthetic corpus instead of VCTK (smoke runs)")
+    p.add_argument("--synthetic_n", type=int, default=64,
+                   help="synthetic corpus size (with --synthetic_data)")
     return p.parse_args(argv)
 
 
@@ -84,8 +86,9 @@ def main(argv=None):
     dataset = None
     if args.synthetic_data:
         dataset = SyntheticVCTK(
-            n_items=64, sr=config.DATA.TARGET_SR,
+            n_items=args.synthetic_n, sr=config.DATA.TARGET_SR,
             duration=config.DATA.SEGMENT + 0.05,
+            training=not (config.EVAL_MODE or config.INFERENCE_MODE),
         )
 
     if config.THROUGHPUT_MODE:

@@ -126,9 +126,14 @@ class Sample:
 class VCTKDataset:
     """Speaker-split VCTK wrapper over a directory of wav files.
 
-    Directory layout (the reference's converted corpus,
-    data_loaders.py:119-149):
-        <root>/<speaker>/<speaker>_<utt>_<mic>.wav
+    Directory layout — the reference's CONVERTED corpus
+    (data_loaders.py:119-149, 197-218: ``_flac2wav`` writes
+    ``{speaker}_{utt}.wav`` with the mic suffix DROPPED, because the mic is
+    chosen at conversion time; ``_load_sample`` at data_loaders.py:497-500
+    reads exactly that name back):
+        <root>/<speaker>/<speaker>_<utt>.wav
+    Files carrying an explicit ``_mic{N}`` tag (an unconverted-style tree)
+    are also accepted and filtered to ``mic_id``.
     """
 
     def __init__(
@@ -177,10 +182,15 @@ class VCTKDataset:
             for fname in sorted(os.listdir(spk_dir)):
                 if not fname.endswith(".wav"):
                     continue
-                if self.mic_id and self.mic_id not in fname:
-                    continue
                 stem = fname.rsplit(".", 1)[0]
                 parts = stem.split("_")
+                # The converted corpus has NO mic tag in filenames (the mic
+                # was selected during flac→wav conversion); only filter when
+                # a tag is actually present.
+                if self.mic_id and parts[-1].startswith("mic"):
+                    if parts[-1] != self.mic_id:
+                        continue
+                    parts = parts[:-1]
                 utt = "_".join(parts[1:])
                 samples.append(Sample(spk, utt, os.path.join(spk_dir, fname)))
 
@@ -249,7 +259,11 @@ class SyntheticVCTK:
         t = np.arange(int(self.sr * self.duration)) / self.sr
         f0 = rng.uniform(100.0, 300.0)
         audio = np.zeros_like(t, dtype=np.float32)
-        for k in range(1, 40):
+        # Partials up to Nyquist with a 1/k spectral tilt (speech-like):
+        # the cap must exceed 24 kHz / 100 Hz so 48 kHz-target corpora have
+        # genuine content in the 12-24 kHz extension band, otherwise
+        # bandwidth-extension training has nothing to learn up there.
+        for k in range(1, 256):
             fk = f0 * k
             if fk >= self.sr / 2:
                 break
