@@ -77,7 +77,68 @@ def main():
             }
         )
     )
+    bench_batched(generator, params, config)
     bench_train()
+
+
+# TPU v5e (v5 lite): 197 TFLOP/s bf16 peak per chip.
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def bench_batched(generator, params, config, batch: int = 32, iters: int = 20):
+    """Batched inference throughput + honest MFU.
+
+    Batch-1 is dispatch-bound (~0.4 ms/segment leaves the MXU mostly idle);
+    this measures what the chip sustains when segments are batched — the
+    serving configuration — and reports achieved TFLOP/s against the v5e
+    bf16 peak, with FLOPs taken from XLA's post-optimisation cost analysis
+    of the exact compiled program.
+    """
+    seg = int(config.DATA.SEGMENT * config.DATA.TARGET_SR)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((batch, 1, seg)).astype(np.float32) * 0.1)
+    hf = jnp.full((batch,), 171, jnp.int32)
+
+    @jax.jit
+    def forward(params, x, hf):
+        return generator.apply({"params": params}, x, hf, deterministic=True)
+
+    @jax.jit
+    def chained(params, x, hf):
+        y = forward(params, x, hf)
+        return x + 1e-6 * y
+
+    compiled = forward.lower(params, x, hf).compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0))
+
+    chained(params, x, hf).block_until_ready()
+    for _ in range(30):
+        x = chained(params, x, hf)
+    x.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = chained(params, x, hf)
+    x.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    rtf_recip = batch * config.DATA.SEGMENT / dt
+    tflops = flops / dt / 1e12
+    print(
+        json.dumps(
+            {
+                "metric": f"rtf_reciprocal_48k_batch{batch}",
+                "value": round(rtf_recip, 3),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf_recip / V100_BEST_RTF_RECIPROCAL, 3),
+                "segments_per_s": round(batch / dt, 2),
+                "tflops": round(tflops, 2),
+                "pct_v5e_bf16_peak": round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 2),
+            }
+        )
+    )
 
 
 ROUND1_TRAIN_RT = 490.0  # this repo's round-1 MPD training RT factor
@@ -140,7 +201,10 @@ def bench_train(batch_size: int = 8, iters: int = 10):
                 "metric": "train_rt_factor_48k_MPD_batch8",
                 "value": round(rt, 3),
                 "unit": "x_realtime",
+                # NOT reference-relative: the reference publishes no training
+                # wall-clock, so the baseline is this repo's own round-1 rate.
                 "vs_baseline": round(rt / ROUND1_TRAIN_RT, 3),
+                "baseline_is": "self_round1_490x",
             }
         )
     )

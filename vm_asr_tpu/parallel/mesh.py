@@ -51,9 +51,21 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     sharded = batch_sharding(mesh)
     repl = replicated(mesh)
 
+    warned = []
+
     def put(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % dp == 0:
             return jax.device_put(x, sharded)
+        if hasattr(x, "ndim") and x.ndim >= 1 and dp > 1 and not warned:
+            # Not silent: every chip redundantly computes the whole batch.
+            warned.append(True)
+            import logging
+
+            logging.getLogger("vm_asr_tpu").warning(
+                "shard_batch: leading dim %d not divisible by dp=%d — "
+                "replicating (wasteful; pad the batch to avoid)",
+                x.shape[0], dp,
+            )
         return jax.device_put(x, repl)
 
     return jax.tree_util.tree_map(put, batch)
