@@ -263,11 +263,19 @@ class SyntheticVCTK:
         # the cap must exceed 24 kHz / 100 Hz so 48 kHz-target corpora have
         # genuine content in the 12-24 kHz extension band, otherwise
         # bandwidth-extension training has nothing to learn up there.
+        # Harmonic AMPLITUDES are a deterministic function of (k, f0) — a
+        # fixed pseudo-formant envelope — so the high band is PREDICTABLE
+        # from the low band (as in real speech, where HF structure
+        # correlates with LF content). Independent random amplitudes would
+        # build an irreducible LSD floor into the corpus and cap how much
+        # bandwidth-extension training can ever improve. Phases stay random
+        # (magnitude-spectral metrics don't see them).
         for k in range(1, 256):
             fk = f0 * k
             if fk >= self.sr / 2:
                 break
-            amp = rng.uniform(0.2, 1.0) / k
+            formant = 0.5 * (1.0 + np.sin(0.7 * k + f0 / 30.0))
+            amp = (0.4 + 0.6 * formant) / k
             audio += (amp * np.sin(2 * np.pi * fk * t + rng.uniform(0, 2 * np.pi))
                       ).astype(np.float32)
         env = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(1.0, 4.0) * t))
