@@ -25,6 +25,50 @@ import numpy as np
 V100_BEST_RTF_RECIPROCAL = 59.8
 
 
+def median_window_dt(step, state, iters, windows=3):
+    """Honest per-iteration wall time: differential, D2H-anchored timing.
+
+    Two defenses against the remote-TPU tunnel, both load-bearing:
+
+    1. **D2H anchor.** Over the axon tunnel, ``block_until_ready`` can ack
+       before device compute finishes (observed: batch-32 inference "timed"
+       at 0.49 ms when its ≥158 GFLOP needs ≥0.80 ms at the v5e's 197
+       TFLOP/s bf16 peak — a non-physical >160% MFU). Fetching one element
+       of the final output to the host cannot return early, so every
+       timing window ends with a real device→host read of the result.
+    2. **Differential timing.** The anchor costs a tunnel round trip and
+       the first executions of a burst ramp slowly; timing N and 2N
+       chained iterations and taking (T_2N − T_N)/N cancels every
+       per-window constant, leaving the marginal per-iteration time.
+
+    ``step(state) -> state`` must chain its output into the next input so
+    every execution is distinct (no runtime memoization short-cut) and
+    strictly ordered. Median over ``windows`` differential windows guards
+    against congestion bursts (captured batch-1 numbers have ranged
+    1883×–7100× RT for the same program under the old protocol).
+    """
+
+    def run(n, s):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = step(s)
+        jax.block_until_ready(s)
+        leaf = jax.tree_util.tree_leaves(s)[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1]))  # D2H anchor
+        return time.perf_counter() - t0, s
+
+    dts = []
+    t_2n = 0.0
+    for _ in range(windows):
+        t_n, state = run(iters, state)
+        t_2n, state = run(2 * iters, state)
+        dts.append((t_2n - t_n) / iters)
+    dt = float(np.median(dts))
+    if dt <= 0.0:  # noise exceeded the op cost — fall back to the mean rate
+        dt = t_2n / (2 * iters)
+    return dt, state
+
+
 def main():
     from vm_asr_tpu.models import get_model
     from __graft_entry__ import _flagship_config
@@ -58,12 +102,7 @@ def main():
         x = chained(params, x, hf)
     x.block_until_ready()
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = chained(params, x, hf)
-    x.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    dt, x = median_window_dt(lambda s: chained(params, s, hf), x, iters=20)
 
     audio_seconds = config.DATA.SEGMENT
     rtf_recip = audio_seconds / dt
@@ -90,10 +129,14 @@ def bench_batched(generator, params, config, batch: int = 32, iters: int = 20):
 
     Batch-1 is dispatch-bound (~0.4 ms/segment leaves the MXU mostly idle);
     this measures what the chip sustains when segments are batched — the
-    serving configuration — and reports achieved TFLOP/s against the v5e
-    bf16 peak, with FLOPs taken from XLA's post-optimisation cost analysis
-    of the exact compiled program.
+    serving configuration — and reports achieved MXU TFLOP/s against the
+    v5e bf16 peak. The FLOP numerator is the ANALYTIC dot/conv count from
+    the jaxpr (core.profiling.matmul_flops): XLA's cost_analysis() flops
+    over-count producers that fusion duplicates into several consumers
+    (it read 105% "of peak" here — non-physical), so it is not used.
     """
+    from vm_asr_tpu.core.profiling import matmul_flops
+
     seg = int(config.DATA.SEGMENT * config.DATA.TARGET_SR)
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((batch, 1, seg)).astype(np.float32) * 0.1)
@@ -108,21 +151,14 @@ def bench_batched(generator, params, config, batch: int = 32, iters: int = 20):
         y = forward(params, x, hf)
         return x + 1e-6 * y
 
-    compiled = forward.lower(params, x, hf).compile()
-    cost = compiled.cost_analysis()
-    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-    flops = float(cost.get("flops", 0.0))
+    flops = matmul_flops(forward, params, x, hf)
 
     chained(params, x, hf).block_until_ready()
     for _ in range(30):
         x = chained(params, x, hf)
     x.block_until_ready()
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = chained(params, x, hf)
-    x.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    dt, x = median_window_dt(lambda s: chained(params, s, hf), x, iters=iters)
 
     rtf_recip = batch * config.DATA.SEGMENT / dt
     tflops = flops / dt / 1e12
@@ -134,8 +170,8 @@ def bench_batched(generator, params, config, batch: int = 32, iters: int = 20):
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf_recip / V100_BEST_RTF_RECIPROCAL, 3),
                 "segments_per_s": round(batch / dt, 2),
-                "tflops": round(tflops, 2),
-                "pct_v5e_bf16_peak": round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 2),
+                "mxu_tflops": round(tflops, 2),
+                "mfu_pct_v5e_bf16": round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 2),
             }
         )
     )
@@ -185,14 +221,13 @@ def bench_train(batch_size: int = 8, iters: int = 10):
         )
     jax.block_until_ready(metrics)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        rng, step_rng = jax.random.split(rng)
-        gen_state, disc_states, metrics = trainer.train_step(
-            gen_state, disc_states, device_batch, step_rng
-        )
-    jax.block_until_ready(metrics)
-    dt = (time.perf_counter() - t0) / iters
+    def step(state):
+        g, d, r = state
+        r, step_rng = jax.random.split(r)
+        g, d, metrics = trainer.train_step(g, d, device_batch, step_rng)
+        return (g, d, r)
+
+    dt, _ = median_window_dt(step, (gen_state, disc_states, rng), iters=iters)
 
     rt = batch_size * config.DATA.SEGMENT / dt
     print(

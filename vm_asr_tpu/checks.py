@@ -175,7 +175,8 @@ def bench_vssblock() -> None:
     block = VSSBlock(hidden_dim=96, drop_path=0.0)
     x = jnp.zeros((4, 56, 56, 96), jnp.float32)
     params = jax.jit(block.init)(jax.random.PRNGKey(0), x)
-    stats = benchmark(lambda p, v: block.apply(p, v), params, x, iters=10)
+    stats = benchmark(lambda p, v: block.apply(p, v), params, x, iters=10,
+                      chain=lambda out, p, v: (p, v + 1e-6 * out))
     print(f"[vssblock] {stats['seconds_per_call'] * 1e3:.2f} ms/call "
           f"(B=4, 56×56×96, {jax.default_backend()})")
 
@@ -187,8 +188,10 @@ def bench_scan() -> None:
     impl = "pallas" if jax.default_backend() != "cpu" else "ref"
     a = jnp.full((16, 16384, 128), 0.9, jnp.float32)
     b = jnp.ones((16, 16384, 128), jnp.float32)
-    s1 = benchmark(lambda a_, b_: linear_recurrence(a_, b_, impl), a, b, iters=10)
-    s2 = benchmark(linear_recurrence_ref, a, b, iters=10)
+    feed = lambda out, a_, b_: (a_, b_ + 1e-6 * out)  # defeat memoization
+    s1 = benchmark(lambda a_, b_: linear_recurrence(a_, b_, impl), a, b,
+                   iters=10, chain=feed)
+    s2 = benchmark(linear_recurrence_ref, a, b, iters=10, chain=feed)
     n_bytes = 3 * a.size * 4
     bw = n_bytes / s1["seconds_per_call"] / 1e9
     print(f"[scan] {impl}: {s1['seconds_per_call'] * 1e3:.2f} ms "

@@ -55,6 +55,71 @@ def model_flops(generator, params, x, hf) -> Dict[str, float]:
     }
 
 
+def matmul_flops(fn: Callable, *args) -> int:
+    """Exact MXU FLOPs of ``fn(*args)``: walk the jaxpr and count every
+    ``dot_general`` / ``conv_general_dilated`` from its shapes (2·M·N·K
+    convention), recursing through pjit/scan/cond/remat sub-jaxprs.
+
+    This is the standard MFU numerator: XLA's ``cost_analysis()['flops']``
+    over-counts producers that fusion duplicates into several consumers
+    (observed 105% "of peak" on the flagship forward), so it must not be
+    used for utilization claims. Pallas kernels (the selective scan) are
+    VPU work and intentionally excluded; add ``flops_selective_scan`` if a
+    total-FLOPs figure is needed.
+    """
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    return _count_jaxpr(jaxpr.jaxpr)
+
+
+def _aval_shape(v) -> tuple:
+    return tuple(getattr(v.aval, "shape", ()))
+
+
+def _count_eqn(eqn) -> int:
+    name = eqn.primitive.name
+    if name == "dot_general":
+        lhs, rhs = _aval_shape(eqn.invars[0]), _aval_shape(eqn.invars[1])
+        (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+        k = int(np.prod([lhs[i] for i in lc], dtype=np.int64)) if lc else 1
+        b = int(np.prod([lhs[i] for i in lb], dtype=np.int64)) if lb else 1
+        m = int(np.prod([d for i, d in enumerate(lhs)
+                         if i not in set(lc) | set(lb)], dtype=np.int64))
+        n = int(np.prod([d for i, d in enumerate(rhs)
+                         if i not in set(rc) | set(rb)], dtype=np.int64))
+        return 2 * b * m * n * k
+    if name == "conv_general_dilated":
+        rhs = _aval_shape(eqn.invars[1])
+        out = _aval_shape(eqn.outvars[0])
+        dn = eqn.params["dimension_numbers"]
+        k_spatial = int(np.prod([rhs[i] for i in dn.rhs_spec[2:]],
+                                dtype=np.int64)) if len(dn.rhs_spec) > 2 else 1
+        cin_per_group = rhs[dn.rhs_spec[1]]
+        return 2 * int(np.prod(out, dtype=np.int64)) * cin_per_group * k_spatial
+    # Recurse into sub-jaxprs (pjit, remat, custom_vjp, scan, cond, ...).
+    total = 0
+    for key, val in eqn.params.items():
+        sub = None
+        if hasattr(val, "jaxpr") and hasattr(val.jaxpr, "eqns"):  # ClosedJaxpr
+            sub = val.jaxpr
+        elif hasattr(val, "eqns"):  # raw Jaxpr
+            sub = val
+        elif key == "branches" and isinstance(val, (list, tuple)):
+            counts = [_count_jaxpr(b.jaxpr if hasattr(b, "jaxpr") else b)
+                      for b in val]
+            total += max(counts) if counts else 0
+            continue
+        if sub is not None:
+            n = _count_jaxpr(sub)
+            if name == "scan":
+                n *= int(eqn.params.get("length", 1))
+            total += n
+    return total
+
+
+def _count_jaxpr(jaxpr) -> int:
+    return sum(_count_eqn(e) for e in jaxpr.eqns)
+
+
 def count_params(tree: Any) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(tree))
 
@@ -69,18 +134,51 @@ def profile_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def benchmark(fn: Callable, *args, iters: int = 20, warmup: int = 2
-              ) -> Dict[str, float]:
-    """Wall-clock a jitted function with async-dispatch-safe timing."""
+def benchmark(fn: Callable, *args, iters: int = 20, warmup: int = 2,
+              chain: Callable = None) -> Dict[str, float]:
+    """Wall-clock a jitted function: differential, D2H-anchored timing.
+
+    Two timing windows of N and 2N calls are run, each ending with a
+    ``device_get`` of one element of the output (which cannot complete
+    before device compute does — over the remote-TPU tunnel a bare
+    ``block_until_ready`` can ack early); ``dt = (T_2N - T_N) / N``
+    cancels the anchor round trip and enqueue ramp-up.
+
+    ``chain(out, *args) -> new_args`` feeds each call's output into the
+    next call's inputs so every execution is distinct — REQUIRED over the
+    axon tunnel, which memoizes repeated identical executions. Without it
+    the same args are re-submitted (fine on local backends).
+    """
     jfn = jax.jit(fn)
-    for _ in range(warmup):
-        jax.block_until_ready(jfn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = jfn(*args)
+    cur = args
+    out = jfn(*cur)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    for _ in range(warmup):
+        if chain is not None:
+            cur = chain(out, *cur)
+        out = jfn(*cur)
+    jax.block_until_ready(out)
+
+    def run(n: int) -> float:
+        nonlocal cur, out
+        t0 = time.perf_counter()
+        for _ in range(n):
+            if chain is not None:
+                cur = chain(out, *cur)
+            out = jfn(*cur)
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1]))  # D2H anchor
+        return time.perf_counter() - t0
+
+    dts = []
+    for _ in range(3):
+        t_n = run(iters)
+        t_2n = run(2 * iters)
+        dts.append((t_2n - t_n) / iters)
+    dt = float(np.median(dts))
+    if dt <= 0.0:  # noise exceeded the op cost — fall back to the mean rate
+        dt = t_2n / (2 * iters)
     return {"seconds_per_call": dt, "calls_per_second": 1.0 / dt}
 
 

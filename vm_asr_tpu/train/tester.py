@@ -107,6 +107,11 @@ class Tester:
             t0 = time.time()
             wave_out = self._forward_chunked(x, hf)
             wave_out.block_until_ready()
+            # D2H anchor: one element must land on the host before the
+            # timer stops — over the remote tunnel block_until_ready can
+            # ack before compute completes (local-hardware cost: ~µs, the
+            # equivalent of the reference's cuda.synchronize).
+            np.asarray(wave_out.ravel()[:1])
             run_time = time.time() - t0
             audio_seconds = (x.shape[-1] - pad) / self.config.DATA.TARGET_SR
             rtf = run_time / max(audio_seconds, 1e-9)
