@@ -109,6 +109,11 @@ def test_load_torch_checkpoint_roundtrip(tmp_path):
     import textwrap
 
     script = textwrap.dedent("""
+        import jax
+        # The JAX_PLATFORMS env var is not enough here: the environment's
+        # sitecustomize pins jax_platforms programmatically, which overrides
+        # the env and dials the remote TPU tunnel (hangs when it is down).
+        jax.config.update("jax_platforms", "cpu")
         import json, sys, torch
         from vm_asr_tpu.compat.ref_loader import build_reference_model
         from vm_asr_tpu.compat.torch_port import load_torch_checkpoint
