@@ -113,6 +113,8 @@ def main():
                 "value": round(rtf_recip, 3),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf_recip / V100_BEST_RTF_RECIPROCAL, 3),
+                "device": jax.devices()[0].device_kind,
+                "timing": "diff_d2h_v3",  # differential, D2H-anchored (r03)
             }
         )
     )

@@ -26,6 +26,10 @@ import numpy as np
 
 
 def bench_step(trainer, batch, iters=10, warmup=12):
+    # differential, D2H-anchored timing (see bench.median_window_dt: the
+    # tunnel's block_until_ready can ack before device compute finishes)
+    from bench import median_window_dt
+
     rng = jax.random.PRNGKey(0)
     gen_state, disc_states = trainer.gen_state, trainer.disc_states
     for _ in range(warmup):
@@ -33,13 +37,15 @@ def bench_step(trainer, batch, iters=10, warmup=12):
         gen_state, disc_states, m = trainer.train_step(
             gen_state, disc_states, batch, r)
     jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        rng, r = jax.random.split(rng)
-        gen_state, disc_states, m = trainer.train_step(
-            gen_state, disc_states, batch, r)
-    jax.block_until_ready(m)
-    return (time.perf_counter() - t0) / iters
+
+    def step(state):
+        g, d, r = state
+        r, sr = jax.random.split(r)
+        g, d, _ = trainer.train_step(g, d, batch, sr)
+        return (g, d, r)
+
+    dt, _ = median_window_dt(step, (gen_state, disc_states, rng), iters=iters)
+    return dt
 
 
 def main():
