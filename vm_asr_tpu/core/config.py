@@ -233,6 +233,11 @@ def default_config() -> CfgNode:
     # TPU addition: rematerialise VSS block activations in backward
     # (the analogue of the reference's use_checkpoint, vmamba.py:1839-1843)
     c.MODEL.VSSM.USE_CHECKPOINT = False
+    # TPU addition: batch the two dual-stream decoder passes (which share
+    # core_mag's weights in the production PHASE_DECODER_FIX=False path,
+    # reference model.py:1148) into one call along the batch axis.
+    # Identical per-sample math; halves the decoder's dispatch count.
+    c.MODEL.VSSM.FUSE_STREAMS = False
 
     # -- training (reference config.py:126-192) -------------------------------
     c.TRAIN = CfgNode()

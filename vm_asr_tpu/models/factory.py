@@ -54,6 +54,7 @@ def get_model(config) -> Dict[str, Any]:
         generator = DualStreamInteractiveMambaUNet(
             interact=v.INTERACT,
             phase_decoder_fix=bool(v.get("PHASE_DECODER_FIX", False)),
+            fuse_streams=bool(v.get("FUSE_STREAMS", False)),
             **kwargs,
         )
     elif name in ("MambaUNet", "VM_ASR_BASIC"):

@@ -476,6 +476,16 @@ class DualStreamInteractiveMambaUNet(MambaUNet):
 
     interact: str = "dual"
     phase_decoder_fix: bool = False
+    # TPU dispatch optimization: the production path (phase_decoder_fix
+    # False) routes BOTH streams through core_mag's decoder (reference
+    # model.py:1148) — i.e. same weights, two calls. With fuse_streams the
+    # two calls batch into one along the batch axis (identical per-sample
+    # math: no op in the decoder mixes batch elements), halving the
+    # decoder's op/dispatch count. A TPU core runs independent small ops
+    # sequentially, so fewer, larger ops cut latency directly. In training
+    # mode the fused call draws one dropout/DropPath rng stream for the
+    # stacked batch instead of two — same distribution, different draws.
+    fuse_streams: bool = False
 
     def setup(self):
         kwargs = self._core_kwargs()
@@ -530,25 +540,33 @@ class DualStreamInteractiveMambaUNet(MambaUNet):
             m = self.core_mag.run_latent(m, deterministic)
             p = self.core_phase.run_latent(p, deterministic)
 
+        fuse = self.fuse_streams and not self.phase_decoder_fix
         for i in range(n):
             if has_latent or i != 0:
                 ms, ps = skips.pop()
                 if self.concat_skip:
-                    m = self.core_mag.decode(
-                        i, jnp.concatenate([m, ms], axis=-1), deterministic
-                    )
-                    # Reference routes phase through the mag decoder here
-                    # (model.py:1148/1270/1386); see module docstring.
-                    phase_core = (
-                        self.core_phase if self.phase_decoder_fix else self.core_mag
-                    )
-                    p = phase_core.decode(
-                        i, jnp.concatenate([p, ps], axis=-1), deterministic
-                    )
+                    m_in = jnp.concatenate([m, ms], axis=-1)
+                    p_in = jnp.concatenate([p, ps], axis=-1)
+                    if fuse:
+                        both = self.core_mag.decode(
+                            i, jnp.concatenate([m_in, p_in], axis=0),
+                            deterministic,
+                        )
+                        m, p = jnp.split(both, 2, axis=0)
+                    else:
+                        m = self.core_mag.decode(i, m_in, deterministic)
+                        # Reference routes phase through the mag decoder here
+                        # (model.py:1148/1270/1386); see module docstring.
+                        phase_core = (
+                            self.core_phase if self.phase_decoder_fix
+                            else self.core_mag
+                        )
+                        p = phase_core.decode(i, p_in, deterministic)
                 else:
                     m = self.core_mag.decode(i, m + ms, deterministic)
                     p = self.core_phase.decode(i, p + ps, deterministic)
             else:
+                # Per-stream decoders here in the reference — not fusable.
                 m = self.core_mag.decode(i, m, deterministic)
                 p = self.core_phase.decode(i, p, deterministic)
             m, p = self._interact(m, p)
