@@ -118,8 +118,46 @@ def main():
             }
         )
     )
+    bench_stacked(config, params, x, hf)
     bench_batched(generator, params, config)
     bench_train()
+
+
+def bench_stacked(config, params, x, hf):
+    """Batch-1 inference through the stream-stacked execution model
+    (models.unet.DualStreamStackedMambaUNet): identical outputs, ~49% fewer
+    traced ops — the TPU answer to the dual-stream architecture's op count
+    (a TPU core runs independent small ops sequentially)."""
+    from vm_asr_tpu.models import DualStreamStackedMambaUNet, stack_dual_params
+    from vm_asr_tpu.models.factory import _generator_kwargs
+
+    stacked = DualStreamStackedMambaUNet(
+        interact=config.MODEL.VSSM.INTERACT, **_generator_kwargs(config)
+    )
+    sp = stack_dual_params(params, concat_skip=config.MODEL.VSSM.CONCAT_SKIP)
+
+    @jax.jit
+    def chained(p, x, hf):
+        y = stacked.apply({"params": p}, x, hf, deterministic=True)
+        return x + 1e-6 * y
+
+    chained(sp, x, hf).block_until_ready()
+    for _ in range(40):
+        x = chained(sp, x, hf)
+    x.block_until_ready()
+    dt, x = median_window_dt(lambda s: chained(sp, s, hf), x, iters=20)
+
+    rtf_recip = config.DATA.SEGMENT / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rtf_reciprocal_48k_batch1_stacked",
+                "value": round(rtf_recip, 3),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf_recip / V100_BEST_RTF_RECIPROCAL, 3),
+            }
+        )
+    )
 
 
 # TPU v5e (v5 lite): 197 TFLOP/s bf16 peak per chip.

@@ -129,7 +129,9 @@ def main(argv=None):
         if not os.path.exists(args.input):
             raise FileNotFoundError(f"--input path does not exist: {args.input}")
         params = _load_generator_params(config, models["generator"], logger)
-        inferencer = Inferencer(config, models["generator"], params, logger)
+        generator, params = _maybe_stack(config, models["generator"], params,
+                                         logger)
+        inferencer = Inferencer(config, generator, params, logger)
         if os.path.isdir(args.input):
             inferencer.infer_directory(args.input)
         else:
@@ -141,13 +143,15 @@ def main(argv=None):
 
         loader = get_loaders(config, logger, dataset=dataset)
         params = _load_generator_params(config, models["generator"], logger)
+        generator, params = _maybe_stack(config, models["generator"], params,
+                                         logger)
         out_dir = os.path.join(
             config.TEST.RESULTS_DIR,
             config.MODEL.NAME,
             str(config.TAG.split("_")[1]),
             str(config.TAG.split("_")[0]),
         )
-        tester = Tester(config, models["generator"], params, loader, logger,
+        tester = Tester(config, generator, params, loader, logger,
                         output_dir=out_dir)
         tester.evaluate()
         return 0
@@ -165,6 +169,18 @@ def main(argv=None):
     finally:
         finish_wandb_run(run)
     return 0
+
+
+def _maybe_stack(config, generator, params, logger):
+    """Swap in the stream-stacked execution model for eval/inference when
+    MODEL.VSSM.STACKED_EXECUTION is set (identical outputs, ~half the ops)."""
+    from .models.factory import to_stacked
+
+    new_gen, new_params = to_stacked(config, generator, params)
+    if new_gen is not generator:
+        logger.info("Stacked dual-stream execution enabled "
+                    "(MODEL.VSSM.STACKED_EXECUTION)")
+    return new_gen, new_params
 
 
 def _load_generator_params(config, generator, logger):

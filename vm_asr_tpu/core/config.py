@@ -238,6 +238,12 @@ def default_config() -> CfgNode:
     # reference model.py:1148) into one call along the batch axis.
     # Identical per-sample math; halves the decoder's dispatch count.
     c.MODEL.VSSM.FUSE_STREAMS = False
+    # TPU addition (serving): run eval/inference through the stream-stacked
+    # execution model (models.unet.DualStreamStackedMambaUNet) — both
+    # streams as one vmapped program over stacked weights, ~49% fewer
+    # traced ops at flagship geometry, outputs identical (checkpoints stay
+    # in the unstacked layout; conversion happens at load time).
+    c.MODEL.VSSM.STACKED_EXECUTION = False
 
     # -- training (reference config.py:126-192) -------------------------------
     c.TRAIN = CfgNode()

@@ -4,10 +4,16 @@ from .discriminator import (
     PeriodDiscriminator,
     ScaleDiscriminator,
 )
-from .factory import get_model
+from .factory import get_model, to_stacked
 from .layers import DropPath, Mlp, PatchEmbed, PatchExpanding, PatchMerging
 from .ss2d import SS2D
-from .unet import DualStreamInteractiveMambaUNet, MambaUNet, UNetCore
+from .unet import (
+    DualStreamInteractiveMambaUNet,
+    DualStreamStackedMambaUNet,
+    MambaUNet,
+    UNetCore,
+    stack_dual_params,
+)
 from .vss import VSSBlock, VSSLayer
 from .vssm import BackboneVSSM, VSSM
 
@@ -20,6 +26,9 @@ __all__ = [
     "UNetCore",
     "MambaUNet",
     "DualStreamInteractiveMambaUNet",
+    "DualStreamStackedMambaUNet",
+    "stack_dual_params",
+    "to_stacked",
     "MultiPeriodDiscriminator",
     "MultiScaleDiscriminator",
     "PeriodDiscriminator",

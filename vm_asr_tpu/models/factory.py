@@ -7,18 +7,22 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 from .discriminator import MultiPeriodDiscriminator, MultiScaleDiscriminator
-from .unet import DualStreamInteractiveMambaUNet, MambaUNet
+from .unet import (
+    DualStreamInteractiveMambaUNet,
+    DualStreamStackedMambaUNet,
+    MambaUNet,
+    stack_dual_params,
+)
 
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
 
 
-def get_model(config) -> Dict[str, Any]:
-    """Build {"generator": …, "mpd"?: …, "msd"?: …} from the run config."""
+def _generator_kwargs(config) -> Dict[str, Any]:
     v = config.MODEL.VSSM
     compute_dtype = _DTYPES[config.DTYPE.COMPUTE] if config.AMP_ENABLE else jnp.float32
 
-    kwargs = dict(
+    return dict(
         in_chans=v.IN_CHANS,
         patch_size=v.PATCH_SIZE,
         depths=tuple(v.DEPTHS),
@@ -48,6 +52,12 @@ def get_model(config) -> Dict[str, Any]:
         use_checkpoint=bool(v.get("USE_CHECKPOINT", False)),
         dtype=compute_dtype,
     )
+
+
+def get_model(config) -> Dict[str, Any]:
+    """Build {"generator": …, "mpd"?: …, "msd"?: …} from the run config."""
+    v = config.MODEL.VSSM
+    kwargs = _generator_kwargs(config)
 
     name = config.MODEL.NAME
     if name == "DualStreamInteractiveMambaUNet":
@@ -81,3 +91,33 @@ def get_model(config) -> Dict[str, Any]:
                 dtype=compute_dtype,
             )
     return models
+
+
+def to_stacked(config, generator, params):
+    """Serving path: swap a dual-stream generator + unstacked params for the
+    stream-stacked execution model (unet.DualStreamStackedMambaUNet — ~half
+    the traced ops, identical outputs). No-op unless the config enables
+    MODEL.VSSM.STACKED_EXECUTION, the model is the dual-stream U-Net, and
+    ``params`` still carry the unstacked {core_mag, core_phase} layout."""
+    v = config.MODEL.VSSM
+    if not bool(v.get("STACKED_EXECUTION", False)):
+        return generator, params
+    if config.MODEL.NAME != "DualStreamInteractiveMambaUNet":
+        return generator, params
+    if v.INTERACT == "single" or "core_mag" not in params:
+        return generator, params
+
+    stacked = DualStreamStackedMambaUNet(
+        interact=v.INTERACT,
+        phase_decoder_fix=bool(v.get("PHASE_DECODER_FIX", False)),
+        **_generator_kwargs(config),
+    )
+    dims, depths = v.DIMS, list(v.DEPTHS)
+    has_latent = not isinstance(dims, int) and len(dims) == len(depths) + 1
+    sp = stack_dual_params(
+        params,
+        concat_skip=bool(v.CONCAT_SKIP),
+        has_latent=has_latent,
+        phase_decoder_fix=bool(v.get("PHASE_DECODER_FIX", False)),
+    )
+    return stacked, sp

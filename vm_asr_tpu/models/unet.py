@@ -614,3 +614,165 @@ class DualStreamInteractiveMambaUNet(MambaUNet):
 
         wav = self._i_mag_phase(mag, phase)[..., :length]
         return wav[:, None, :] if chan else wav
+
+
+# ---------------------------------------------------------------------------
+# Stacked dual-stream execution (TPU serving optimization)
+#
+# The dual-stream model runs two same-architecture cores (different weights)
+# alternately, so the traced program is ~2x the op count of one core — and a
+# TPU core executes independent small ops SEQUENTIALLY, so each tiny matmul
+# pays its own overhead. Stacking the two streams into one leading axis and
+# the two cores' weights into stacked parameters turns every pair of ops
+# into ONE batched op (nn.vmap over the stream axis) at identical per-sample
+# math. The reference has no counterpart (its CUDA streams could overlap; a
+# TPU core cannot) — this is the idiomatic TPU answer to the dual-stream
+# architecture of reference model.py:1006-1552.
+
+
+def _stacked_core_cls():
+    per = dict(
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        axis_size=2,
+        out_axes=0,
+    )
+    return nn.vmap(
+        UNetCore,
+        methods={
+            "embed": dict(in_axes=(0, None), **per),
+            "encode": dict(in_axes=(None, 0, None), **per),
+            "decode": dict(in_axes=(None, 0, None), **per),
+            "run_latent": dict(in_axes=(0, None), **per),
+            "output": dict(in_axes=(0, None), **per),
+        },
+    )
+
+
+class DualStreamStackedMambaUNet(MambaUNet):
+    """Execution-equivalent re-layout of DualStreamInteractiveMambaUNet:
+    the magnitude/phase streams run as one stacked (2, B, ...) tensor
+    through a stream-vmapped core whose parameters carry a leading
+    stream axis. Convert trained dual-stream weights with
+    :func:`stack_dual_params`; outputs match the unstacked model
+    (equivalence-tested). The reference's phase-through-mag-decoder quirk
+    (model.py:1148, PHASE_DECODER_FIX False) is encoded at CONVERSION
+    time by stacking those decoder stages as [mag, mag]."""
+
+    interact: str = "dual"
+    phase_decoder_fix: bool = False
+
+    def setup(self):
+        if self.interact == "single":
+            raise ValueError(
+                "interact='single' has one stream — use MambaUNet or "
+                "DualStreamInteractiveMambaUNet"
+            )
+        self.core = _stacked_core_cls()(**self._core_kwargs())
+
+    def _interact_stacked(self, s):
+        m, p = s[0], s[1]
+        if self.interact == "dual":
+            # Sequential adds — the second uses the updated mag
+            # (reference model.py:1174-1176).
+            m = m + p
+            p = p + m
+        elif self.interact == "p2m":
+            m = m + p
+        elif self.interact == "m2p":
+            p = p + m
+        return jnp.stack([m, p])
+
+    def __call__(self, x, hf=None, deterministic: bool = True):
+        chan = x.ndim == 3
+        if chan:
+            x = x[:, 0, :]
+        length = x.shape[-1]
+        n = len(self.depths)
+
+        mag, phase = self._mag_phase(x)
+        mag_dc, phase_dc = mag[:, :1], phase[:, :1]
+        mag, phase = mag[:, 1:], phase[:, 1:]
+        residual_mag = mag
+
+        s = jnp.stack([mag, phase])[..., None].astype(self.dtype)
+        s = self.core.embed(s, deterministic)
+        skips = [s]
+
+        has_latent = not isinstance(self.dims, int) and len(self.dims) == n + 1
+
+        for i in range(n):
+            s = self.core.encode(i, s, deterministic)
+            if has_latent or i < n - 1:
+                skips.append(s)
+            s = self._interact_stacked(s)
+
+        if has_latent:
+            s = self.core.run_latent(s, deterministic)
+
+        for i in range(n):
+            if has_latent or i != 0:
+                sk = skips.pop()
+                if self.concat_skip:
+                    s = self.core.decode(
+                        i, jnp.concatenate([s, sk], axis=-1), deterministic
+                    )
+                else:
+                    s = self.core.decode(i, s + sk, deterministic)
+            else:
+                s = self.core.decode(i, s, deterministic)
+            s = self._interact_stacked(s)
+
+        sk = skips.pop()
+        if self.concat_skip:
+            s = self.core.output(
+                jnp.concatenate([s, sk], axis=-1), deterministic
+            )
+        else:
+            s = self.core.output(s + sk, deterministic)
+
+        m, p = s[0], s[1]
+        mag = m[..., 0].astype(jnp.float32) + residual_mag
+        phase = p[..., 0].astype(jnp.float32)
+        mag = jnp.concatenate([mag_dc, mag], axis=-2)
+        phase = jnp.concatenate([phase_dc, phase], axis=-2)
+
+        mag, phase = self._apply_lfr(mag, phase, x, hf, chan)
+
+        wav = self._i_mag_phase(mag, phase)[..., :length]
+        return wav[:, None, :] if chan else wav
+
+
+def stack_dual_params(params, *, concat_skip: bool = True,
+                      has_latent: bool = False,
+                      phase_decoder_fix: bool = False):
+    """Convert DualStreamInteractiveMambaUNet params ({core_mag, core_phase})
+    into DualStreamStackedMambaUNet params ({core} with a leading stream
+    axis on every leaf).
+
+    Weight-selection rules mirror the unstacked orchestration exactly:
+    decoder stages where the reference routes BOTH streams through the mag
+    decoder (concat-skip stages past the innermost one, model.py:1148,
+    when ``phase_decoder_fix`` is off) stack as [mag, mag]; everything
+    else stacks as [mag, phase].
+    """
+    import jax as _jax
+
+    m, p = params["core_mag"], params["core_phase"]
+
+    def both(sub_m, sub_p):
+        return _jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]), sub_m, sub_p
+        )
+
+    def mag_only(sub_m):
+        return _jax.tree_util.tree_map(lambda a: jnp.stack([a, a]), sub_m)
+
+    out = {}
+    for key in m:
+        use_quirk = False
+        if key.startswith("decoders_") and concat_skip and not phase_decoder_fix:
+            idx = int(key.rsplit("_", 1)[1])
+            use_quirk = has_latent or idx != 0
+        out[key] = mag_only(m[key]) if use_quirk else both(m[key], p[key])
+    return {"core": out}
