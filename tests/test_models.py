@@ -145,3 +145,33 @@ def test_msd_forward(rng):
     )
     assert len(y_r) == 3
     assert all(len(f) == 8 for f in f_r)
+
+
+def test_disc_batched_real_fake_matches_separate(rng):
+    """The frozen-stats (generator-loss) pass batches real+fake through one
+    conv stack (models.discriminator._real_fake_pass); outputs must match
+    two separate passes to float-lowering tolerance (XLA tiles the batch-4
+    conv differently from batch-2: observed max rel diff ~1e-7)."""
+    y = jnp.asarray(rng.standard_normal((2, 1, 4000)).astype(np.float32))
+    y_hat = jnp.asarray(rng.standard_normal((2, 1, 4000)).astype(np.float32))
+    # MSD needs hidden ≥ 16 (grouped-conv divisibility, groups up to 16)
+    for cls, hidden in ((MultiPeriodDiscriminator, 4),
+                        (MultiScaleDiscriminator, 16)):
+        m = cls(hidden=hidden)
+        variables = m.init(jax.random.PRNGKey(0), y, y_hat)
+        s_r, s_g, f_r, f_g = m.apply(variables, y, y_hat, update_stats=False)
+        # real-only / fake-only calls take the unbatched path
+        r_r, _, fr_r, _ = m.apply(variables, y, None, update_stats=False)
+        g_r, _, fg_r, _ = m.apply(variables, y_hat, None, update_stats=False)
+        close = lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        for a, b in zip(s_r, r_r):
+            close(a, b)
+        for a, b in zip(s_g, g_r):
+            close(a, b)
+        for fa, fb in zip(f_r, fr_r):
+            for a, b in zip(fa, fb):
+                close(a, b)
+        for fa, fb in zip(f_g, fg_r):
+            for a, b in zip(fa, fb):
+                close(a, b)

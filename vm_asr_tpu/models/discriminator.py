@@ -29,6 +29,28 @@ def _maybe_sn(layer: nn.Module, spectral: bool) -> nn.Module:
     return nn.SpectralNorm(layer, error_on_non_matrix=False) if spectral else layer
 
 
+def _real_fake_pass(disc, y, y_hat, update_stats):
+    """Run a sub-discriminator on the (real, fake) pair.
+
+    When stats are frozen (the generator-loss pass) the two passes share
+    weights, so they batch into ONE conv stack along the batch axis —
+    exact per-sample math, and fewer, larger ops on a TPU core (which runs
+    independent small ops sequentially). Kept as two calls under
+    ``update_stats`` so spectral-norm power iterations advance exactly
+    once per pass, like the reference's per-forward torch hook
+    (discriminator.py:37,177)."""
+    if y_hat is not None and not update_stats:
+        b = y.shape[0]
+        s_b, f_b = disc(jnp.concatenate([y, y_hat], axis=0),
+                        update_stats=False)
+        return s_b[:b], [f[:b] for f in f_b], s_b[b:], [f[b:] for f in f_b]
+    s_r, f_r = disc(y, update_stats=update_stats)
+    if y_hat is None:
+        return s_r, f_r, 0, 0
+    s_g, f_g = disc(y_hat, update_stats=update_stats)
+    return s_r, f_r, s_g, f_g
+
+
 class PeriodDiscriminator(nn.Module):
     """Conv2d stack over the period-folded waveform
     (reference discriminator.py:21-118)."""
@@ -119,16 +141,11 @@ class MultiPeriodDiscriminator(nn.Module):
                 dtype=self.dtype,
                 name=f"disc_{i}",
             )
-            s_r, f_r = disc(y, update_stats=update_stats)
+            s_r, f_r, s_g, f_g = _real_fake_pass(disc, y, y_hat, update_stats)
             y_real.append(s_r)
             fmap_real.append(f_r)
-            if y_hat is not None:
-                s_g, f_g = disc(y_hat, update_stats=update_stats)
-                y_gen.append(s_g)
-                fmap_gen.append(f_g)
-            else:
-                y_gen.append(0)
-                fmap_gen.append(0)
+            y_gen.append(s_g)
+            fmap_gen.append(f_g)
         return y_real, y_gen, fmap_real, fmap_gen
 
 
@@ -227,14 +244,9 @@ class MultiScaleDiscriminator(nn.Module):
                 dtype=self.dtype,
                 name=f"disc_{i}",
             )
-            s_r, f_r = disc(y, update_stats=update_stats)
+            s_r, f_r, s_g, f_g = _real_fake_pass(disc, y, y_hat, update_stats)
             y_real.append(s_r)
             fmap_real.append(f_r)
-            if y_hat is not None:
-                s_g, f_g = disc(y_hat, update_stats=update_stats)
-                y_gen.append(s_g)
-                fmap_gen.append(f_g)
-            else:
-                y_gen.append(0)
-                fmap_gen.append(0)
+            y_gen.append(s_g)
+            fmap_gen.append(f_g)
         return y_real, y_gen, fmap_real, fmap_gen

@@ -57,6 +57,7 @@ def _generator_kwargs(config) -> Dict[str, Any]:
 def get_model(config) -> Dict[str, Any]:
     """Build {"generator": …, "mpd"?: …, "msd"?: …} from the run config."""
     v = config.MODEL.VSSM
+    compute_dtype = _DTYPES[config.DTYPE.COMPUTE] if config.AMP_ENABLE else jnp.float32
     kwargs = _generator_kwargs(config)
 
     name = config.MODEL.NAME
