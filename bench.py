@@ -71,7 +71,16 @@ def median_window_dt(step, state, iters, windows=3):
 
 def main():
     from vm_asr_tpu.models import get_model
-    from __graft_entry__ import _flagship_config
+    from __graft_entry__ import _flagship_config, _visible_devices
+
+    # Fail fast when the remote TPU is unreachable: jax backend init would
+    # otherwise block forever in an uninterruptible reconnect loop (see
+    # ROADMAP "Operational notes"), which reads as a hung bench instead of
+    # an unavailable device.
+    if _visible_devices(timeout_s=300) == 0:
+        print("bench: no JAX devices reachable (TPU tunnel down?) — aborting",
+              file=sys.stderr)
+        return 2
 
     config = _flagship_config()
     generator = get_model(config)["generator"]
