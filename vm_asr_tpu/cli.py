@@ -104,6 +104,7 @@ def main(argv=None):
         params = jax.jit(generator.init)(
             jax.random.PRNGKey(config.SEED), x[:1], hf[:1]
         )["params"]
+        generator, params = _maybe_stack(config, generator, params, logger)
         stats = benchmark(
             lambda p, v, h: generator.apply({"params": p}, v, h,
                                             deterministic=True),
