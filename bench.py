@@ -25,48 +25,9 @@ import numpy as np
 V100_BEST_RTF_RECIPROCAL = 59.8
 
 
-def median_window_dt(step, state, iters, windows=3):
-    """Honest per-iteration wall time: differential, D2H-anchored timing.
-
-    Two defenses against the remote-TPU tunnel, both load-bearing:
-
-    1. **D2H anchor.** Over the axon tunnel, ``block_until_ready`` can ack
-       before device compute finishes (observed: batch-32 inference "timed"
-       at 0.49 ms when its ≥158 GFLOP needs ≥0.80 ms at the v5e's 197
-       TFLOP/s bf16 peak — a non-physical >160% MFU). Fetching one element
-       of the final output to the host cannot return early, so every
-       timing window ends with a real device→host read of the result.
-    2. **Differential timing.** The anchor costs a tunnel round trip and
-       the first executions of a burst ramp slowly; timing N and 2N
-       chained iterations and taking (T_2N − T_N)/N cancels every
-       per-window constant, leaving the marginal per-iteration time.
-
-    ``step(state) -> state`` must chain its output into the next input so
-    every execution is distinct (no runtime memoization short-cut) and
-    strictly ordered. Median over ``windows`` differential windows guards
-    against congestion bursts (captured batch-1 numbers have ranged
-    1883×–7100× RT for the same program under the old protocol).
-    """
-
-    def run(n, s):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            s = step(s)
-        jax.block_until_ready(s)
-        leaf = jax.tree_util.tree_leaves(s)[0]
-        np.asarray(jax.device_get(leaf.ravel()[:1]))  # D2H anchor
-        return time.perf_counter() - t0, s
-
-    dts = []
-    t_2n = 0.0
-    for _ in range(windows):
-        t_n, state = run(iters, state)
-        t_2n, state = run(2 * iters, state)
-        dts.append((t_2n - t_n) / iters)
-    dt = float(np.median(dts))
-    if dt <= 0.0:  # noise exceeded the op cost — fall back to the mean rate
-        dt = t_2n / (2 * iters)
-    return dt, state
+# Canonical honest-timing protocol (differential, D2H-anchored — see its
+# docstring for why a bare block_until_ready loop lies over the tunnel).
+from vm_asr_tpu.core.profiling import median_window_dt  # noqa: E402
 
 
 def main():
@@ -137,13 +98,13 @@ def bench_stacked(config, params, x, hf):
     (models.unet.DualStreamStackedMambaUNet): identical outputs, ~49% fewer
     traced ops — the TPU answer to the dual-stream architecture's op count
     (a TPU core runs independent small ops sequentially)."""
-    from vm_asr_tpu.models import DualStreamStackedMambaUNet, stack_dual_params
-    from vm_asr_tpu.models.factory import _generator_kwargs
+    from vm_asr_tpu.models import to_stacked
 
-    stacked = DualStreamStackedMambaUNet(
-        interact=config.MODEL.VSSM.INTERACT, **_generator_kwargs(config)
-    )
-    sp = stack_dual_params(params, concat_skip=config.MODEL.VSSM.CONCAT_SKIP)
+    # Reuse the factory conversion so the latent/quirk weight-stacking
+    # rules stay in one place (it reads the flag from the config).
+    config.MODEL.VSSM.STACKED_EXECUTION = True
+    stacked, sp = to_stacked(config, None, params)
+    assert stacked is not None and "core" in sp, "stacked conversion failed"
 
     @jax.jit
     def chained(p, x, hf):

@@ -16,7 +16,6 @@ Deltas between rows ≈ the cost of each component (fwd+bwd). Run:
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

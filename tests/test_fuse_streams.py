@@ -53,7 +53,12 @@ def test_fused_matches_unfused(concat_skip):
     # identical param tree: fusing changes call structure, not parameters
     y_fused = gen_fused.apply({"params": params}, x, hf, deterministic=True)
 
-    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_fused))
+    # Per-sample math is identical, but XLA may tile the batch-2B convs
+    # differently from batch-B on some backends (observed ~1e-7 rel on the
+    # analogous discriminator batching) — float tolerance, not bitwise.
+    np.testing.assert_allclose(
+        np.asarray(y_ref), np.asarray(y_fused), rtol=1e-5, atol=1e-6
+    )
 
 
 def test_fuse_disabled_under_phase_decoder_fix():

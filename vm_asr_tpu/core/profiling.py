@@ -134,15 +134,54 @@ def profile_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def median_window_dt(step, state, iters, windows=3):
+    """Honest per-iteration wall time: differential, D2H-anchored timing.
+
+    Two defenses against the remote-TPU tunnel, both load-bearing:
+
+    1. **D2H anchor.** Over the axon tunnel, ``block_until_ready`` can ack
+       before device compute finishes (observed: batch-32 inference "timed"
+       below its theoretical minimum at the v5e's 197 TFLOP/s bf16 peak —
+       a non-physical >160% MFU). Fetching one element of the final state
+       to the host cannot return early, so every timing window ends with a
+       real device→host read. The FIRST leaf of ``state`` must therefore
+       be (or depend on) the step's computed output, not a passthrough
+       input.
+    2. **Differential timing.** The anchor costs a tunnel round trip and
+       the first executions of a burst ramp slowly; timing N and 2N
+       chained iterations and taking (T_2N − T_N)/N cancels every
+       per-window constant, leaving the marginal per-iteration time.
+
+    ``step(state) -> state`` must chain its output into the next input so
+    every execution is distinct (the tunnel memoizes repeated identical
+    executions) and strictly ordered. Median over ``windows`` differential
+    windows guards against congestion bursts.
+    """
+
+    def run(n, s):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = step(s)
+        jax.block_until_ready(s)
+        leaf = jax.tree_util.tree_leaves(s)[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1]))  # D2H anchor
+        return time.perf_counter() - t0, s
+
+    dts = []
+    t_2n = 0.0
+    for _ in range(windows):
+        t_n, state = run(iters, state)
+        t_2n, state = run(2 * iters, state)
+        dts.append((t_2n - t_n) / iters)
+    dt = float(np.median(dts))
+    if dt <= 0.0:  # noise exceeded the op cost — fall back to the mean rate
+        dt = t_2n / (2 * iters)
+    return dt, state
+
+
 def benchmark(fn: Callable, *args, iters: int = 20, warmup: int = 2,
               chain: Callable = None) -> Dict[str, float]:
-    """Wall-clock a jitted function: differential, D2H-anchored timing.
-
-    Two timing windows of N and 2N calls are run, each ending with a
-    ``device_get`` of one element of the output (which cannot complete
-    before device compute does — over the remote-TPU tunnel a bare
-    ``block_until_ready`` can ack early); ``dt = (T_2N - T_N) / N``
-    cancels the anchor round trip and enqueue ramp-up.
+    """Wall-clock a jitted function via :func:`median_window_dt`.
 
     ``chain(out, *args) -> new_args`` feeds each call's output into the
     next call's inputs so every execution is distinct — REQUIRED over the
@@ -159,26 +198,13 @@ def benchmark(fn: Callable, *args, iters: int = 20, warmup: int = 2,
         out = jfn(*cur)
     jax.block_until_ready(out)
 
-    def run(n: int) -> float:
-        nonlocal cur, out
-        t0 = time.perf_counter()
-        for _ in range(n):
-            if chain is not None:
-                cur = chain(out, *cur)
-            out = jfn(*cur)
-        jax.block_until_ready(out)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(jax.device_get(leaf.ravel()[:1]))  # D2H anchor
-        return time.perf_counter() - t0
+    def step(state):
+        out_, cur_ = state
+        if chain is not None:
+            cur_ = chain(out_, *cur_)
+        return (jfn(*cur_), cur_)  # out first: it is the D2H anchor leaf
 
-    dts = []
-    for _ in range(3):
-        t_n = run(iters)
-        t_2n = run(2 * iters)
-        dts.append((t_2n - t_n) / iters)
-    dt = float(np.median(dts))
-    if dt <= 0.0:  # noise exceeded the op cost — fall back to the mean rate
-        dt = t_2n / (2 * iters)
+    dt, _ = median_window_dt(step, (out, cur), iters=iters)
     return {"seconds_per_call": dt, "calls_per_second": 1.0 / dt}
 
 
