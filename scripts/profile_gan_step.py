@@ -57,6 +57,7 @@ def main():
     batch_size = 8
     variants = {
         "full": [],
+        "full_fused": ["MODEL.VSSM.FUSE_STREAMS", True],
         "no_gan": ["TRAIN.ADVERSARIAL.ENABLE", False],
         "l1_only": ["TRAIN.ADVERSARIAL.ENABLE", False,
                     "TRAIN.LOSSES.GEN", ["l1"]],
