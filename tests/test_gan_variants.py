@@ -45,3 +45,41 @@ def test_wgan_gp_train_step(tmp_path):
     )
     assert np.isfinite(float(m["total_loss"]))
     assert np.isfinite(float(m["total_disc_loss"]))
+
+
+def test_fuse_streams_train_step(tmp_path):
+    """Training with MODEL.VSSM.FUSE_STREAMS: gradients flow through the
+    fused (batch-concatenated) decoder calls — the decoder's grads sum over
+    both streams exactly as in the unfused quirk path."""
+    from tests.test_train import make_loaders, tiny_config
+
+    c = tiny_config(tmp_path, gan=True)
+    c.TRAIN.ADVERSARIAL.MPD_PERIODS = [2]
+    c.MODEL.VSSM.FUSE_STREAMS = True
+    models = get_model(c)
+    train, _ = make_loaders(c, n_items=16)
+    mesh = make_mesh()
+    trainer = Trainer(c, models, train, None, mesh=mesh)
+    batch = next(iter(train))
+    db = shard_batch(
+        {
+            "wave_input": batch.wave_input,
+            "wave_target": batch.wave_target,
+            "highcut": batch.highcut,
+        },
+        mesh,
+    )
+    before = jax.tree_util.tree_map(
+        lambda a: np.asarray(a).copy(), trainer.gen_state.params
+    )
+    gen_state, disc_states, m = trainer.train_step(
+        trainer.gen_state, trainer.disc_states, db, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(m["total_loss"]))
+    # some parameter must move (warmup LR can leave individual leaves ~0)
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(gen_state.params))
+    )
+    assert moved
