@@ -117,3 +117,19 @@ def test_to_stacked_factory_roundtrip():
     # idempotent: already-stacked params pass through untouched
     gen3, params3 = to_stacked(c, gen2, params2)
     assert gen3 is gen2 and params3 is params2
+
+
+def test_stacked_with_pallas_interpret_scan():
+    """The stream-vmap must compose with the fused Pallas scan kernel
+    (vmap batching rule over pallas_call / its custom_vjp) — interpret
+    mode stands in for the TPU lowering in CI."""
+    kw = dict(scan_impl="interpret")
+    dual, stacked = _pair(**kw)
+    x, hf = _data(batch=1, seed=7)
+    params = dual.init(jax.random.PRNGKey(0), x, hf)["params"]
+    y_ref = dual.apply({"params": params}, x, hf, deterministic=True)
+    y_st = stacked.apply(
+        {"params": stack_dual_params(params)}, x, hf, deterministic=True
+    )
+    np.testing.assert_allclose(np.asarray(y_st), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
