@@ -200,6 +200,10 @@ def bench_train(batch_size: int = 8, iters: int = 10):
 
     config = _flagship_config(batch_size=batch_size, gan=True)
     config.OUTPUT = "/tmp/vm_asr_tpu_bench"
+    # Measure the optimized training configuration: fused decoder passes
+    # (MODEL.VSSM.FUSE_STREAMS — same per-sample math, fewer dispatches).
+    # Recorded in the metric line for lineage vs pre-r03 numbers.
+    config.MODEL.VSSM.FUSE_STREAMS = True
 
     models = get_model(config)
     ds = SyntheticVCTK(n_items=batch_size, sr=48000,
@@ -250,6 +254,7 @@ def bench_train(batch_size: int = 8, iters: int = 10):
                 # wall-clock, so the baseline is this repo's own round-1 rate.
                 "vs_baseline": round(rt / ROUND1_TRAIN_RT, 3),
                 "baseline_is": "self_round1_490x",
+                "fuse_streams": True,
             }
         )
     )
