@@ -12,11 +12,22 @@ wall-clock numbers; vs_baseline is relative to this repo's round-1 figure
 (~490× real-time, ROADMAP.md) so progression is visible across rounds.
 
 Each metric is one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Robustness (round-4 hardening — a transient tunnel outage must not zero the
+round's perf record, which is what happened to BENCH_r03):
+- the device probe retries with backoff across a ~40-minute window instead
+  of one 300 s attempt;
+- every stage runs independently — a failure in one still emits the rest;
+- each successful metric line is persisted to ``artifacts/bench_cache.json``;
+  if no device ever appears, the cached last-honest lines are re-emitted
+  tagged ``"stale": true`` so the record degrades instead of vanishing.
 """
 
 import json
+import os
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -24,26 +35,98 @@ import numpy as np
 
 V100_BEST_RTF_RECIPROCAL = 59.8
 
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "artifacts", "bench_cache.json")
+
 
 # Canonical honest-timing protocol (differential, D2H-anchored — see its
 # docstring for why a bare block_until_ready loop lies over the tunnel).
 from vm_asr_tpu.core.profiling import median_window_dt  # noqa: E402
 
 
-def main():
-    from vm_asr_tpu.models import get_model
-    from __graft_entry__ import _flagship_config, _visible_devices
+def emit(record: dict) -> None:
+    """Print one metric line AND persist it as the last-honest value."""
+    print(json.dumps(record), flush=True)
+    try:
+        cache = {}
+        if os.path.isfile(CACHE_PATH):
+            with open(CACHE_PATH) as f:
+                cache = json.load(f)
+        cache[record["metric"]] = record
+        os.makedirs(os.path.dirname(CACHE_PATH), exist_ok=True)
+        with open(CACHE_PATH, "w") as f:
+            json.dump(cache, f, indent=1)
+    except Exception:  # cache IO must never kill a live metric
+        traceback.print_exc(file=sys.stderr)
 
-    # Fail fast when the remote TPU is unreachable: jax backend init would
-    # otherwise block forever in an uninterruptible reconnect loop (see
-    # ROADMAP "Operational notes"), which reads as a hung bench instead of
-    # an unavailable device.
-    if _visible_devices(timeout_s=300) == 0:
-        print("bench: no JAX devices reachable (TPU tunnel down?) — aborting",
+
+def emit_stale_cache() -> int:
+    """Device never appeared: re-emit the last honest record, marked stale."""
+    if not os.path.isfile(CACHE_PATH):
+        print("bench: no device and no cached results — nothing to report",
               file=sys.stderr)
         return 2
+    with open(CACHE_PATH) as f:
+        cache = json.load(f)
+    for record in cache.values():
+        record = dict(record)
+        record["stale"] = True  # measured in an earlier session; TPU now down
+        print(json.dumps(record), flush=True)
+    return 0
+
+
+def probe_devices(total_window_s: float = 2400.0, probe_timeout_s: float = 150.0,
+                  retry_sleep_s: float = 120.0) -> int:
+    """Probe for JAX devices, retrying across a generous window.
+
+    jax backend init blocks FOREVER (uninterruptibly) when the tunnel is
+    down, so the probe runs in a killable subprocess
+    (__graft_entry__._visible_devices). One 300 s attempt cost round 3 its
+    artifact; transient outages deserve retries.
+    """
+    from __graft_entry__ import _visible_devices
+
+    deadline = time.monotonic() + total_window_s
+    attempt = 0
+    while True:
+        attempt += 1
+        n = _visible_devices(timeout_s=probe_timeout_s)
+        if n > 0:
+            return n
+        if time.monotonic() + retry_sleep_s + probe_timeout_s > deadline:
+            return 0
+        print(f"bench: probe attempt {attempt} saw no devices; "
+              f"retrying in {retry_sleep_s:.0f}s", file=sys.stderr)
+        time.sleep(retry_sleep_s)
+
+
+def main():
+    from vm_asr_tpu.models import get_model
+    from __graft_entry__ import _flagship_config
+
+    if probe_devices() == 0:
+        print("bench: no JAX devices reachable (TPU tunnel down?) — "
+              "emitting cached last-honest results if any", file=sys.stderr)
+        return emit_stale_cache()
 
     config = _flagship_config()
+    stages = []
+    try:
+        stages = _inference_stages(get_model, config)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+    # Stages are independent: one failure must not drop the others.
+    for stage in stages + [bench_train]:
+        try:
+            stage()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+    return 0
+
+
+def _inference_stages(get_model, config):
+    """Run the headline batch-1 metric; return the remaining inference
+    stages (they share the generator/params built here)."""
     generator = get_model(config)["generator"]
 
     seg = int(config.DATA.SEGMENT * config.DATA.TARGET_SR)  # 122640
@@ -76,21 +159,21 @@ def main():
 
     audio_seconds = config.DATA.SEGMENT
     rtf_recip = audio_seconds / dt
-    print(
-        json.dumps(
-            {
-                "metric": "rtf_reciprocal_48k_batch1",
-                "value": round(rtf_recip, 3),
-                "unit": "x_realtime",
-                "vs_baseline": round(rtf_recip / V100_BEST_RTF_RECIPROCAL, 3),
-                "device": jax.devices()[0].device_kind,
-                "timing": "diff_d2h_v3",  # differential, D2H-anchored (r03)
-            }
-        )
+    emit(
+        {
+            "metric": "rtf_reciprocal_48k_batch1",
+            "value": round(rtf_recip, 3),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf_recip / V100_BEST_RTF_RECIPROCAL, 3),
+            "device": jax.devices()[0].device_kind,
+            "timing": "diff_d2h_v3",  # differential, D2H-anchored (r03)
+        }
     )
-    bench_stacked(config, params, x, hf)
-    bench_batched(generator, params, config)
-    bench_train()
+    return [
+        lambda: bench_stacked(config, params, x, hf),
+        lambda: bench_full_clip(generator, params, config),
+        lambda: bench_batched(generator, params, config),
+    ]
 
 
 def bench_stacked(config, params, x, hf):
@@ -101,7 +184,9 @@ def bench_stacked(config, params, x, hf):
     from vm_asr_tpu.models import to_stacked
 
     # Reuse the factory conversion so the latent/quirk weight-stacking
-    # rules stay in one place (it reads the flag from the config).
+    # rules stay in one place (it reads the flag from the config). Clone so
+    # the flag cannot leak into later bench stages (ADVICE r03).
+    config = config.clone()
     config.MODEL.VSSM.STACKED_EXECUTION = True
     stacked, sp = to_stacked(config, None, params)
     assert stacked is not None and "core" in sp, "stacked conversion failed"
@@ -118,15 +203,68 @@ def bench_stacked(config, params, x, hf):
     dt, x = median_window_dt(lambda s: chained(sp, s, hf), x, iters=20)
 
     rtf_recip = config.DATA.SEGMENT / dt
-    print(
-        json.dumps(
-            {
-                "metric": "rtf_reciprocal_48k_batch1_stacked",
-                "value": round(rtf_recip, 3),
-                "unit": "x_realtime",
-                "vs_baseline": round(rtf_recip / V100_BEST_RTF_RECIPROCAL, 3),
-            }
-        )
+    emit(
+        {
+            "metric": "rtf_reciprocal_48k_batch1_stacked",
+            "value": round(rtf_recip, 3),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf_recip / V100_BEST_RTF_RECIPROCAL, 3),
+        }
+    )
+
+
+def bench_full_clip(generator, params, config, n_segments: int = 3,
+                    iters: int = 10):
+    """Device-resident FULL-CLIP eval RTF (reference tester.py:92-140).
+
+    The round-3 eval CSV recorded 7.5-8.5× real-time for full clips — but
+    that number was dominated by tunnel H2D (~0.9 s per batch over HTTP),
+    not compute. This stage answers "what does the framework itself do for
+    a full clip?": the whole unfold → per-segment forward → mean-fold
+    pipeline runs as ONE jitted program on pre-staged device data, timed
+    under the honest protocol. Clip length exactly tiles n_segments windows
+    (unfold drops trailing samples, matching torch.Tensor.unfold).
+    """
+    from vm_asr_tpu.dsp import fold_audio, unfold_audio
+
+    seg = int(config.DATA.SEGMENT * config.DATA.TARGET_SR)
+    overlap = int(config.TEST.OVERLAP)
+    step = seg - overlap
+    t = seg + (n_segments - 1) * step
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 1, t)).astype(np.float32) * 0.1)
+    hf = jnp.full((1,), 171, jnp.int32)
+    hf_b = jnp.full((n_segments,), 171, jnp.int32)
+
+    @jax.jit
+    def full_clip(params, x, hf_b):
+        segments = unfold_audio(x, seg, overlap)  # (1, 1, S, seg)
+        seg_batch = segments.reshape(n_segments, 1, seg)
+        out = generator.apply({"params": params}, seg_batch, hf_b,
+                              deterministic=True)
+        out = out.reshape(1, 1, n_segments, seg)
+        y = fold_audio(out, t, seg, overlap)
+        return x + 1e-6 * y  # chain: each iteration is a distinct execution
+
+    full_clip(params, x, hf_b).block_until_ready()
+    for _ in range(20):
+        x = full_clip(params, x, hf_b)
+    x.block_until_ready()
+    dt, x = median_window_dt(lambda s: full_clip(params, s, hf_b), x,
+                             iters=iters)
+
+    audio_seconds = t / config.DATA.TARGET_SR
+    rtf_recip = audio_seconds / dt
+    emit(
+        {
+            "metric": "rtf_reciprocal_48k_fullclip_device",
+            "value": round(rtf_recip, 3),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf_recip / V100_BEST_RTF_RECIPROCAL, 3),
+            "clip_seconds": round(audio_seconds, 3),
+            "n_segments": n_segments,
+            "timing": "diff_d2h_v3",
+        }
     )
 
 
@@ -172,18 +310,16 @@ def bench_batched(generator, params, config, batch: int = 32, iters: int = 20):
 
     rtf_recip = batch * config.DATA.SEGMENT / dt
     tflops = flops / dt / 1e12
-    print(
-        json.dumps(
-            {
-                "metric": f"rtf_reciprocal_48k_batch{batch}",
-                "value": round(rtf_recip, 3),
-                "unit": "x_realtime",
-                "vs_baseline": round(rtf_recip / V100_BEST_RTF_RECIPROCAL, 3),
-                "segments_per_s": round(batch / dt, 2),
-                "mxu_tflops": round(tflops, 2),
-                "mfu_pct_v5e_bf16": round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 2),
-            }
-        )
+    emit(
+        {
+            "metric": f"rtf_reciprocal_48k_batch{batch}",
+            "value": round(rtf_recip, 3),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf_recip / V100_BEST_RTF_RECIPROCAL, 3),
+            "segments_per_s": round(batch / dt, 2),
+            "mxu_tflops": round(tflops, 2),
+            "mfu_pct_v5e_bf16": round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 2),
+        }
     )
 
 
@@ -244,19 +380,17 @@ def bench_train(batch_size: int = 8, iters: int = 10):
     dt, _ = median_window_dt(step, (gen_state, disc_states, rng), iters=iters)
 
     rt = batch_size * config.DATA.SEGMENT / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_rt_factor_48k_MPD_batch8",
-                "value": round(rt, 3),
-                "unit": "x_realtime",
-                # NOT reference-relative: the reference publishes no training
-                # wall-clock, so the baseline is this repo's own round-1 rate.
-                "vs_baseline": round(rt / ROUND1_TRAIN_RT, 3),
-                "baseline_is": "self_round1_490x",
-                "fuse_streams": True,
-            }
-        )
+    emit(
+        {
+            "metric": "train_rt_factor_48k_MPD_batch8",
+            "value": round(rt, 3),
+            "unit": "x_realtime",
+            # NOT reference-relative: the reference publishes no training
+            # wall-clock, so the baseline is this repo's own round-1 rate.
+            "vs_baseline": round(rt / ROUND1_TRAIN_RT, 3),
+            "baseline_is": "self_round1_490x",
+            "fuse_streams": True,
+        }
     )
 
 

@@ -119,15 +119,17 @@ def check_kernel_grid(impl: str) -> None:
                 tol = 3e-2
             else:
                 refd, tol = ref, 1e-3
-            for chunk in (256, 512):
+            fdiff = 0.0  # max across the chunk loop, so the printed
+            for chunk in (256, 512):  # per-(L,dtype) bound is the worst case
                 y, ckpt = ssf._fused_fwd_pallas(
                     uf, dtf, bsf, csf, af, biasf, dkf, k,
                     chunk=chunk, interpret=interp)
-                fdiff = float(np.abs(
+                cdiff = float(np.abs(
                     np.asarray(y, np.float32) - refd.reshape(1, l, kd)
                 ).max()) / max(float(np.abs(refd).max()), 1e-9)
-                worst_fwd = max(worst_fwd, fdiff)
-                assert fdiff < tol, (l, dtype, chunk, fdiff)
+                fdiff = max(fdiff, cdiff)
+                worst_fwd = max(worst_fwd, cdiff)
+                assert cdiff < tol, (l, dtype, chunk, cdiff)
 
             # backward vs the XLA-replay oracle (default chunking)
             _, res = ssf._fused_fwd(uf, dtf, bsf, csf, af, biasf, dkf, k,

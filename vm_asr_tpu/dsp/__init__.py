@@ -7,7 +7,7 @@ from .stft import (
     stft,
     wav2spectro,
 )
-from .segment import fold_audio, unfold_audio
+from .segment import fold_audio, num_segments, unfold_audio
 from .degrade import align_waveform, degrade, lowpass, resample_audio
 
 __all__ = [
@@ -19,6 +19,7 @@ __all__ = [
     "amplitude_to_db",
     "db_to_amplitude",
     "unfold_audio",
+    "num_segments",
     "fold_audio",
     "lowpass",
     "resample_audio",

@@ -11,6 +11,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def num_segments(t: int, segment_length: int, overlap: int) -> int:
+    """Number of windows :func:`unfold_audio` produces for a ``T``-sample
+    clip — the single source of truth for segment counts (callers that
+    pre-compute XLA program keys must agree with the real segmentation)."""
+    step = segment_length - overlap
+    return 1 + max(0, (t - segment_length)) // step
+
+
 def unfold_audio(audio: jnp.ndarray, segment_length: int, overlap: int) -> jnp.ndarray:
     """``(..., T)`` → ``(..., num_segments, segment_length)`` with stride
     ``segment_length - overlap`` (torch.Tensor.unfold semantics: trailing

@@ -23,7 +23,7 @@ import numpy as np
 from ..core.logging import create_logger
 from ..core.tracker import MetricTracker
 from ..data.vctk import save_wav
-from ..dsp import fold_audio, unfold_audio
+from ..dsp import fold_audio, num_segments, unfold_audio
 from ..metrics import get_metrics
 from .steps import bucketed_forward, make_forward_fn, segment_buckets
 
@@ -50,8 +50,9 @@ class Tester:
         self.metrics = MetricTracker()
 
     def _num_segments(self, t: int) -> int:
-        seg, ov = self.num_frames_per_seg, self.config.TEST.OVERLAP
-        return 1 + max(0, t - seg) // (seg - ov)
+        # Shared with unfold_audio so the warm-up program keys can never
+        # drift from the real segmentation (ADVICE r03).
+        return num_segments(t, self.num_frames_per_seg, self.config.TEST.OVERLAP)
 
     def _program_keys(self, shape) -> set:
         """The XLA program signatures a clip of this shape runs through —
