@@ -210,6 +210,20 @@ def _load_generator_params(config, generator, logger):
             return jax.tree_util.tree_map(
                 lambda a, b: jnp.asarray(b, a.dtype), params, loaded
             )
+    # Reference-format torch checkpoints (`*best-G*.pth`, the published
+    # artifact layout — reference utils/utils.py:159-176): convert through
+    # compat.torch_port so a reference run dir is directly evaluable.
+    import glob as _glob
+
+    pths = sorted(_glob.glob(os.path.join(run_dir, "*best*G*.pth")))
+    if pths:
+        from .compat.torch_port import load_torch_checkpoint
+
+        loaded = load_torch_checkpoint(pths[0])
+        logger.info(f"Loaded reference torch checkpoint {pths[0]}")
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.asarray(b, a.dtype), params, loaded
+        )
     logger.warning(
         f"No checkpoint found in {run_dir}; using random init "
         "(reference tolerates absent checkpoints too, utils.py:121-129)"

@@ -70,6 +70,16 @@ def _make_triton():
     triton.jit = jit
     triton.cdiv = lambda a, b: -(-a // b)
     tl.constexpr = object
+    # torch._dynamo (pulled in lazily by torch.optim / clip_grad_norm_)
+    # does `import triton.backends.compiler`; pre-register the submodules
+    # so the fake top-level module passes as a package.
+    for sub in ("triton.backends", "triton.backends.compiler",
+                "triton.compiler", "triton.compiler.compiler",
+                "triton.runtime", "triton.runtime.autotuner",
+                "triton.runtime.jit"):
+        mod = _register(_AnyModule(sub))
+        parent, _, child = sub.rpartition(".")
+        setattr(sys.modules[parent], child, mod)
     return triton
 
 
