@@ -83,3 +83,43 @@ def test_fuse_streams_train_step(tmp_path):
                         jax.tree_util.tree_leaves(gen_state.params))
     )
     assert moved
+
+
+def test_disc_input_gain_and_gap_metrics(tmp_path):
+    """TRAIN.ADVERSARIAL.DISC_INPUT_GAIN plumbs into every D pass, and the
+    adversarial-health gap metrics are emitted (VERDICT r03 weak #1: the
+    conv48 MPD sat blind at the 2.50 LSGAN equilibrium with no signal to
+    see it)."""
+    from tests.test_train import make_loaders, tiny_config
+
+    def run(gain):
+        c = tiny_config(tmp_path, gan=True)
+        c.TRAIN.ADVERSARIAL.MPD_PERIODS = [2]
+        c.TRAIN.ADVERSARIAL.DISC_INPUT_GAIN = gain
+        models = get_model(c)
+        train, _ = make_loaders(c, n_items=16)
+        mesh = make_mesh()
+        trainer = Trainer(c, models, train, None, mesh=mesh)
+        batch = next(iter(train))
+        db = shard_batch(
+            {
+                "wave_input": batch.wave_input,
+                "wave_target": batch.wave_target,
+                "highcut": batch.highcut,
+            },
+            mesh,
+        )
+        _, _, m = trainer.train_step(
+            trainer.gen_state, trainer.disc_states, db, jax.random.PRNGKey(0)
+        )
+        return m
+
+    m1 = run(1.0)
+    m8 = run(8.0)
+    assert "disc_gap/mpd" in m1 and "disc_gap/mpd_max" in m1
+    assert np.isfinite(float(m1["disc_gap/mpd"]))
+    # The gain must reach the D: with identical weights/data the disc loss
+    # of a x8-input pass differs from the x1 pass.
+    d1, d8 = float(m1["discriminator/mpd"]), float(m8["discriminator/mpd"])
+    assert np.isfinite(d1) and np.isfinite(d8)
+    assert abs(d1 - d8) > 1e-6, (d1, d8)

@@ -244,6 +244,12 @@ def default_config() -> CfgNode:
     # traced ops at flagship geometry, outputs identical (checkpoints stay
     # in the unstacked layout; conversion happens at load time).
     c.MODEL.VSSM.STACKED_EXECUTION = False
+    # force_fp32 scan-boundary semantics (reference vmamba.py:842-848: v2/v5
+    # cast the scan's activation inputs to fp32 even under AMP). Off: bf16
+    # IO halves scan HBM traffic; the kernel accumulates in fp32 either way
+    # (bwd ≤6.5e-4 rel at L=16384 — ~50× inside the reference's own bf16
+    # tolerance). On: bit-faithful reference numerics at the scan boundary.
+    c.MODEL.VSSM.SCAN_FP32_IO = False
 
     # -- training (reference config.py:126-192) -------------------------------
     c.TRAIN = CfgNode()
@@ -296,6 +302,16 @@ def default_config() -> CfgNode:
     c.TRAIN.ADVERSARIAL.ONLY_ADVERSARIAL_LOSS = False
     c.TRAIN.ADVERSARIAL.GAN_LOSS_TYPE = "lsgan"
     c.TRAIN.ADVERSARIAL.GP_LAMBDA = 10
+    # TPU addition (documented deliberate fix, default = reference-faithful):
+    # constant gain applied to BOTH real and fake waveforms before every
+    # discriminator. At audio scale (~0.5 peak) the GELU conv stacks sit in
+    # their near-linear regime, where the real/fake difference — zero-mean
+    # high-frequency content — is invisible to first order, so the MPD
+    # converges to the blind LSGAN equilibrium (D ≡ 0.5, loss pinned at
+    # 2.50) and never discriminates; the reference's torch MPD does the
+    # same (scripts/diagnose_gan{,_ref}.py). Gain ≥ ~8 pushes activations
+    # into the nonlinearity and the discriminator becomes adversarial.
+    c.TRAIN.ADVERSARIAL.DISC_INPUT_GAIN = 1.0
 
     # -- test / inference (reference config.py:197-207) -----------------------
     c.TEST = CfgNode()

@@ -20,6 +20,7 @@ configs use d_state N=1 (config.py:100) — the counterpart of the reference's
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -33,6 +34,24 @@ def default_impl() -> str:
     """Pick the kernel implementation for the current backend."""
     platform = jax.default_backend()
     return "pallas" if platform not in ("cpu",) else "ref"
+
+
+# force_fp32 scan-boundary semantics (reference vmamba.py:842-848: the v2/v5
+# forward types cast the scan's activation inputs to fp32 even under AMP).
+# Off by default: the kernel always ACCUMULATES in fp32, bf16 IO halves the
+# scan's HBM traffic, and the bf16-IO backward error (≤6.5e-4 rel at
+# L=16384, CHECKS grid) is ~50× inside the reference's own bf16 kernel
+# tolerance (test_selective_scan.py:586-588: rtol 3e-2). Flip it to
+# reproduce the reference's numerics exactly at the scan boundary.
+# Read at TRACE time — set before the first jitted call (env
+# VM_ASR_SCAN_FP32_IO=1 or set_scan_fp32_io(True), which the model factory
+# calls from MODEL.VSSM.SCAN_FP32_IO).
+_SCAN_FP32_IO = os.environ.get("VM_ASR_SCAN_FP32_IO", "0") == "1"
+
+
+def set_scan_fp32_io(on: bool) -> None:
+    global _SCAN_FP32_IO
+    _SCAN_FP32_IO = bool(on)
 
 
 def selective_scan(
@@ -54,6 +73,10 @@ def selective_scan(
     """
     from ..parallel import mp_mesh
 
+    if _SCAN_FP32_IO:
+        # The scan then returns fp32 (in_dtype below sees fp32); SS2D casts
+        # back to the compute dtype after out_norm, like the reference.
+        u, dts, Bs, Cs = (t.astype(jnp.float32) for t in (u, dts, Bs, Cs))
     mesh = mp_mesh()
     b, _, k, _ = u.shape
     if (

@@ -52,9 +52,16 @@ def make_train_step(
     only_adv = adv_cfg.ONLY_ADVERSARIAL_LOSS
     metric_fns = get_metrics(metric_names or config.TRAIN.METRICS)
     disc_names = tuple(sorted(discriminators.keys()))
+    # Input gain for every D pass (TRAIN.ADVERSARIAL.DISC_INPUT_GAIN; 1.0 =
+    # reference-faithful). See the config definition for why audio-scale
+    # inputs leave the MPD blind at the LSGAN equilibrium.
+    disc_gain = float(getattr(adv_cfg, "DISC_INPUT_GAIN", 1.0))
 
     def disc_forward(name, variables, real, fake, update_stats):
         model = discriminators[name]
+        if disc_gain != 1.0:
+            real = real * disc_gain
+            fake = None if fake is None else fake * disc_gain
         out = model.apply(
             variables, real, fake,
             update_stats=update_stats,
@@ -117,8 +124,8 @@ def make_train_step(
             # Gradient penalty on interpolates (reference trainer.py:374-378 +
             # loss.py:237-260).
             def scores(x):
-                out = discriminators[name].apply(variables, x, None,
-                                                 update_stats=False)
+                out = discriminators[name].apply(variables, x * disc_gain,
+                                                 None, update_stats=False)
                 return out[0]
 
             loss = loss + L.gradient_penalty(
