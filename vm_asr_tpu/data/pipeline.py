@@ -15,6 +15,7 @@ TPU-first design:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -220,6 +221,27 @@ def get_loaders(config, logger=None, dataset=None):
         pipeline_cls = GrainPipeline
     if dataset is None:
         root = f"{config.DATA.DATA_PATH.rstrip('/')}/{config.DATA.FLAC2WAV.DST_PATH}"
+        # Reference behaviour (data_loaders.py:95-103): when the trimmed wav
+        # tree is missing, convert the raw flac corpus in place. (The
+        # reference also auto-DOWNLOADS via torchaudio; impossible without
+        # egress — the raw tree must already be on disk.)
+        if not os.path.isdir(root):
+            from .vctk import convert_flac_corpus
+
+            flac_root = os.path.join(
+                config.DATA.DATA_PATH, "VCTK-Corpus-0.92",
+                "wav48_silence_trimmed",
+            )
+            if os.path.isdir(flac_root):
+                if logger:
+                    logger.info(
+                        "Trimmed wav files not found — converting flac to wav "
+                        f"({flac_root} → {root})"
+                    )
+                convert_flac_corpus(
+                    flac_root, root, config.DATA.FLAC2WAV.TIMESTAMPS,
+                    mic_id=config.DATA.MIC_ID,
+                )
         dataset = VCTKDataset(
             root,
             training=training,
