@@ -169,6 +169,11 @@ def make_train_step(
             metrics[mname] = fn(out_flat, y_flat, hf=hf)
         return gen_state, disc_states, metrics
 
+    # Exposed for equivalence harnesses (dryrun_multichip's dp-vs-mp phase
+    # compares raw generator gradients — post-optimizer params are not
+    # comparable where a gradient is numerically ~0, because AdamW
+    # amplifies noise sign into a full ±lr step).
+    train_step.gen_loss_fn = gen_loss_fn
     return train_step
 
 
