@@ -116,7 +116,7 @@ def main():
     except Exception:
         traceback.print_exc(file=sys.stderr)
     # Stages are independent: one failure must not drop the others.
-    for stage in stages + [bench_train]:
+    for stage in stages + [bench_train, bench_scan_roofline]:
         try:
             stage()
         except Exception:
@@ -392,6 +392,97 @@ def bench_train(batch_size: int = 8, iters: int = 10):
             "fuse_streams": True,
         }
     )
+
+
+# TPU v5e (v5 lite): 819 GB/s HBM bandwidth per chip.
+V5E_HBM_PEAK_GBS = 819.0
+
+
+def bench_scan_roofline(batch: int = 8, l: int = 16384, kd: int = 128,
+                        iters: int = 20):
+    """HBM-roofline check for the fused selective-scan kernel (fwd & bwd).
+
+    The selective scan is bandwidth-bound (arithmetic intensity well under
+    1 FLOP/byte on the KD-sized arrays), so its speed-of-light is the HBM
+    roofline — NOT the MXU peak that `mfu_pct_v5e_bf16` tracks. This stage
+    times the kernel at the production stage-0 geometry (training batch 8,
+    L = 16384 spectral positions, K·D = 128 lanes at DIMS 16 — the hot
+    shape, models/ss2d.py) and reports achieved effective bandwidth —
+    the step's ALGORITHMIC minimum HBM traffic divided by honest
+    diff-D2H wall-clock — as a % of the v5e's 819 GB/s.
+
+    Counted traffic per timed step (bf16 production scan IO):
+      fwd:  read u+dts (2 KD-passes) + bs/cs, write y (1) + chunk ckpts,
+            plus the chain's reduce of y (1 read pass).
+      grad: fwd(2r+1w) + dy-ones materialise (1w) + bwd kernel reads
+            u,dts,dy (3r) and writes du,ddts (2w) + chain reduce (1r),
+            plus bs/cs fp32-cast passes and dbs/dcs writes (K-sized).
+    Anything the implementation touches beyond this model (padding copies,
+    fusion misses) lowers the reported number — so the metric is a true
+    lower bound on kernel bandwidth. Reference counterpart: the CUDA
+    kernel's fully-fused single-pass design (selective_scan_fwd_kernel.cuh).
+    """
+    from vm_asr_tpu.ops.selective_scan_fused import (
+        _default_chunk, selective_scan_fused)
+
+    k = 4
+    rng = np.random.default_rng(0)
+    io = jnp.bfloat16  # production scan IO (MODEL.VSSM.SCAN_FP32_IO off)
+    u = jnp.asarray(rng.standard_normal((batch, l, kd)), io)
+    dts = jnp.asarray(rng.standard_normal((batch, l, kd)) * 0.1, io)
+    bs = jnp.asarray(rng.standard_normal((batch, l, k)), io)
+    cs = jnp.asarray(rng.standard_normal((batch, l, k)), io)
+    a_neg = jnp.asarray(-np.exp(rng.standard_normal(kd) * 0.1), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(kd) * 0.01, jnp.float32)
+    dsk = jnp.asarray(rng.standard_normal(kd), jnp.float32)
+
+    def scan(u_, dts_, bs_):
+        return selective_scan_fused(u_, dts_, bs_, cs, a_neg, bias, dsk, k)
+
+    # Chain on the cheap (B, L, K) input: a y-reduce (one read pass, counted
+    # below) perturbs bs so every execution is distinct for the tunnel.
+    @jax.jit
+    def fwd_chained(u_, dts_, bs_):
+        y = scan(u_, dts_, bs_)
+        return y, bs_ + (1e-6 * y.mean()).astype(bs_.dtype)
+
+    @jax.jit
+    def grad_chained(u_, dts_, bs_):
+        gu, gdt = jax.grad(
+            lambda a, b: scan(a, b, bs_).sum(), argnums=(0, 1))(u_, dts_)
+        return gu, bs_ + (1e-6 * gu.mean()).astype(bs_.dtype)
+
+    isz = jnp.dtype(io).itemsize  # 2 (bf16)
+    kd_pass = batch * l * kd * isz
+    k_pass = batch * l * k * isz
+    ckpt = batch * (l // _default_chunk(l)) * kd * 4
+    fwd_bytes = 4 * kd_pass + 2 * k_pass + ckpt
+    # grad: fwd(2r+1w+ckpt w) + dy ones(1w) + bwd(3r+2w+ckpt r) + chain(1r)
+    # + bs/cs bf16→fp32 casts (2r bf16 + 2w fp32) + dbs/dcs fp32 writes.
+    grad_bytes = 10 * kd_pass + 2 * ckpt + (4 + 2 * 2 + 2 * 2) * k_pass
+
+    for name, fn, nbytes in (("fwd", fwd_chained, fwd_bytes),
+                             ("fwd_bwd", grad_chained, grad_bytes)):
+        out, cur_bs = fn(u, dts, bs)
+        jax.block_until_ready(out)
+        for _ in range(10):  # discarded warm-up burst (tunnel ramp)
+            out, cur_bs = fn(u, dts, cur_bs)
+        jax.block_until_ready(out)
+        dt, _ = median_window_dt(
+            lambda s: fn(u, dts, s[1]), (out, cur_bs), iters=iters)
+        gbs = nbytes / dt / 1e9
+        pct = 100.0 * gbs / V5E_HBM_PEAK_GBS
+        emit(
+            {
+                "metric": f"scan_{name}_hbm_roofline_pct",
+                "value": round(pct, 1),
+                "unit": "pct_of_v5e_819GBs",
+                "vs_baseline": round(pct / 100.0, 3),
+                "eff_gbs": round(gbs, 1),
+                "ms_per_call": round(dt * 1e3, 3),
+                "shape": f"({batch},{l},{kd})_bf16",
+            }
+        )
 
 
 if __name__ == "__main__":

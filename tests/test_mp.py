@@ -78,3 +78,154 @@ def test_grad_equivalence_mp_vs_dp():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
         )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-convolution kernel gradients under a dp×mp mesh.
+#
+# XLA GSPMD mis-partitions the KERNEL gradient of any feature_group_count>1
+# convolution when the params are explicitly replicated on a mesh with an
+# axis the conv is replicated over: the grad comes back scaled by exactly
+# the mp size (jax 0.9.0; found via __graft_entry__ dryrun phase 3, where
+# every SS2D conv2d kernel grad was 2× under dp4×mp2). DepthwiseConv2d and
+# GroupedConv1d decompose to elementwise-FMA / dense-conv forms GSPMD
+# handles correctly; these tests pin the dp-vs-mp equivalence of both.
+# ---------------------------------------------------------------------------
+
+
+def _mesh_pair():
+    devs = jax.devices()[:8]
+    from jax.sharding import Mesh
+
+    return (
+        Mesh(np.array(devs).reshape(8, 1), ("dp", "mp")),
+        Mesh(np.array(devs).reshape(4, 2), ("dp", "mp")),
+    )
+
+
+def _kernel_grad_under(mesh, module, x, params):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x_sh = jax.device_put(
+        x, NamedSharding(mesh, P(*(["dp"] + [None] * (x.ndim - 1)))))
+    p_sh = jax.device_put(params, NamedSharding(mesh, P()))
+    g = jax.jit(jax.grad(
+        lambda p, a: (module.apply({"params": p}, a) ** 2).sum()
+    ))(p_sh, x_sh)
+    return np.asarray(jax.device_get(
+        jax.tree_util.tree_leaves(g)[-1]), np.float32)  # kernel
+
+
+def test_depthwise_conv_kernel_grad_mp():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from vm_asr_tpu.models.layers import DepthwiseConv2d
+
+    m = DepthwiseConv2d(16, kernel_size=(3, 3), use_bias=False)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 8, 8, 16)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    mesh_dp, mesh_mp = _mesh_pair()
+    g_dp = _kernel_grad_under(mesh_dp, m, x, params)
+    g_mp = _kernel_grad_under(mesh_mp, m, x, params)
+    np.testing.assert_allclose(g_mp, g_dp, rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_conv_kernel_grad_mp():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from vm_asr_tpu.models.discriminator import GroupedConv1d
+
+    m = GroupedConv1d(32, kernel_size=5, strides=2, padding=(2, 2),
+                      feature_group_count=4)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((8, 64, 16)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    mesh_dp, mesh_mp = _mesh_pair()
+    g_dp = _kernel_grad_under(mesh_dp, m, x, params)
+    g_mp = _kernel_grad_under(mesh_mp, m, x, params)
+    np.testing.assert_allclose(g_mp, g_dp, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.xfail(
+    strict=False,
+    reason="documents the upstream GSPMD grouped-conv kernel-grad bug; "
+    "if this XPASSes the jax/XLA bug is fixed and nn.Conv is usable again",
+)
+def test_nnconv_grouped_kernel_grad_mp_canary():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import flax.linen as nn
+
+    m = nn.Conv(16, kernel_size=(3, 3), padding="SAME",
+                feature_group_count=16, use_bias=False)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((8, 8, 8, 16)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    mesh_dp, mesh_mp = _mesh_pair()
+    g_dp = _kernel_grad_under(mesh_dp, m, x, params)
+    g_mp = _kernel_grad_under(mesh_mp, m, x, params)
+    np.testing.assert_allclose(g_mp, g_dp, rtol=1e-3)
+
+
+def test_depthwise_conv_matches_nnconv():
+    """DepthwiseConv2d ≡ nn.Conv(feature_group_count=C): fwd + grads."""
+    import flax.linen as nn
+    from vm_asr_tpu.models.layers import (DepthwiseConv2d, torch_bias_init,
+                                          torch_linear_init)
+
+    ref = nn.Conv(16, kernel_size=(3, 3), padding="SAME",
+                  feature_group_count=16, use_bias=True,
+                  kernel_init=torch_linear_init,
+                  bias_init=torch_bias_init(9))
+    mine = DepthwiseConv2d(16, kernel_size=(3, 3), use_bias=True,
+                           kernel_init=torch_linear_init,
+                           bias_init=torch_bias_init(9))
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 9, 7, 16)), jnp.float32)
+    p = ref.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(mine.init(jax.random.PRNGKey(1), x)))
+    np.testing.assert_allclose(
+        np.asarray(mine.apply(p, x)), np.asarray(ref.apply(p, x)),
+        rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(lambda pp: (ref.apply(pp, x) ** 2).sum())(p)
+    g_me = jax.grad(lambda pp: (mine.apply(pp, x) ** 2).sum())(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_me)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-5 * np.abs(a).max()
+
+
+def test_grouped_conv1d_matches_nnconv():
+    """GroupedConv1d ≡ nn.Conv(feature_group_count=g): fwd + grads + SN."""
+    import flax.linen as nn
+    from vm_asr_tpu.models.discriminator import GroupedConv1d
+    from vm_asr_tpu.models.layers import torch_bias_init, torch_linear_init
+
+    ref = nn.Conv(32, kernel_size=(5,), strides=(2,), padding=((2, 2),),
+                  feature_group_count=4, kernel_init=torch_linear_init,
+                  bias_init=torch_bias_init(20))
+    mine = GroupedConv1d(32, kernel_size=5, strides=2, padding=(2, 2),
+                         feature_group_count=4,
+                         kernel_init=torch_linear_init,
+                         bias_init=torch_bias_init(20))
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((3, 64, 16)), jnp.float32)
+    p = ref.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(mine.init(jax.random.PRNGKey(1), x)))
+    np.testing.assert_allclose(
+        np.asarray(mine.apply(p, x)), np.asarray(ref.apply(p, x)),
+        rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(lambda pp: (ref.apply(pp, x) ** 2).sum())(p)
+    g_me = jax.grad(lambda pp: (mine.apply(pp, x) ** 2).sum())(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_me)):
+        a, b = np.asarray(a), np.asarray(b)
+        # leaf-scale relative: near-zero elements carry reduction-order
+        # noise that elementwise rtol misreads as error
+        assert np.abs(a - b).max() <= 1e-5 * np.abs(a).max()
+    sn = nn.SpectralNorm(mine, error_on_non_matrix=False)
+    v = sn.init(jax.random.PRNGKey(2), x, update_stats=True)
+    assert sn.apply(v, x, update_stats=False).shape == (3, 32, 32)

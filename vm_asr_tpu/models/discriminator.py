@@ -29,6 +29,66 @@ def _maybe_sn(layer: nn.Module, spectral: bool) -> nn.Module:
     return nn.SpectralNorm(layer, error_on_non_matrix=False) if spectral else layer
 
 
+class GroupedConv1d(nn.Module):
+    """Grouped 1-D conv as ``feature_group_count`` dense convs on slices.
+
+    Parameter-compatible with ``nn.Conv`` (kernel ``(k, C_in/g, C_out)``,
+    bias ``(C_out,)``) — checkpoints, the torch-port bijection, and the
+    SpectralNorm wrapper are unchanged. Needed because XLA GSPMD
+    mis-partitions the grouped-convolution KERNEL gradient on any mesh with
+    an axis the conv is replicated over: under a dp×mp mesh the grad comes
+    back scaled by exactly the mp size (2× on dp4×mp2) for every
+    ``feature_group_count > 1`` conv, dense convs are exact (minimal repro:
+    tests/test_mp.py::test_grouped_conv_kernel_grad_mp). Decomposed into g
+    dense convs over channel slices of the SAME kernel parameter, every
+    gradient takes the dense-conv path GSPMD partitions correctly.
+    """
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    padding: Tuple[int, int] = (0, 0)
+    feature_group_count: int = 1
+    use_bias: bool = True
+    kernel_init: Any = torch_linear_init
+    bias_init: Any = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax.lax as lax
+
+        g = self.feature_group_count
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (self.kernel_size, c_in // g, self.features),
+        )
+        bias = (
+            self.param("bias", self.bias_init or nn.initializers.zeros,
+                       (self.features,))
+            if self.use_bias else None
+        )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype) if bias is not None else None
+        ci, co = c_in // g, self.features // g
+        dn = ("NWC", "WIO", "NWC")
+        outs = [
+            lax.conv_general_dilated(
+                x[..., i * ci : (i + 1) * ci],
+                kernel[..., i * co : (i + 1) * co],
+                (self.strides,),
+                [self.padding],
+                dimension_numbers=dn,
+            )
+            for i in range(g)
+        ]
+        y = jnp.concatenate(outs, axis=-1) if g > 1 else outs[0]
+        return y if bias is None else y + bias
+
+
 def _real_fake_pass(disc, y, y_hat, update_stats):
     """Run a sub-discriminator on the (real, fake) pair.
 
@@ -176,11 +236,13 @@ class ScaleDiscriminator(nn.Module):
         feature_map: List[jnp.ndarray] = []
         fan_in = 1
         for i, (w_out, k, s, g, pad) in enumerate(specs):
-            conv = nn.Conv(
+            # GroupedConv1d, not nn.Conv: GSPMD doubles the grouped-conv
+            # kernel grad under dp×mp meshes (see class docstring).
+            conv = GroupedConv1d(
                 w_out,
-                kernel_size=(k,),
-                strides=(s,),
-                padding=((pad, pad),),
+                kernel_size=k,
+                strides=s,
+                padding=(pad, pad),
                 feature_group_count=g,
                 kernel_init=torch_linear_init,
                 bias_init=torch_bias_init(max(fan_in // g, 1) * k),

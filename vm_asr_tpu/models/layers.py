@@ -58,6 +58,60 @@ def get_activation(name: str) -> Callable:
     return _ACTIVATIONS[name.lower()]
 
 
+class DepthwiseConv2d(nn.Module):
+    """Depthwise (per-channel) 2-D conv as kh·kw shifted multiply-adds.
+
+    Parameter-compatible with ``nn.Conv(features=C, feature_group_count=C)``:
+    kernel ``(kh, kw, 1, C)`` HWIO + optional bias ``(C,)`` — checkpoints and
+    the torch-port bijection (compat/torch_port.py) are unchanged. Stride 1,
+    SAME padding (the only configuration the model family uses — reference
+    vmamba.py SS2D d_conv).
+
+    Why not ``nn.Conv``: XLA GSPMD mis-partitions the grouped-convolution
+    KERNEL gradient on any mesh with an axis the conv is replicated over —
+    under a dp×mp mesh (parallel/context.py) the depthwise kernel grad comes
+    back scaled by exactly the mp size (2.0000× on dp4×mp2; minimal repro:
+    tests/test_mp.py::test_depthwise_conv_kernel_grad_mp), silently corrupting
+    tensor-parallel training. Expressed as shifted elementwise FMAs, every
+    gradient is a plain elementwise/reduction op GSPMD partitions correctly.
+    It is also the natural TPU formulation: a depthwise conv never touches
+    the MXU, and the kh·kw fused VPU multiply-adds avoid the grouped-conv
+    lowering entirely.
+    """
+
+    features: int
+    kernel_size: tuple
+    use_bias: bool = True
+    kernel_init: Callable = torch_linear_init
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        c = self.features
+        kernel = self.param("kernel", self.kernel_init, (kh, kw, 1, c))
+        bias = (
+            self.param("bias", self.bias_init, (c,)) if self.use_bias else None
+        )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype) if bias is not None else None
+        # SAME padding at stride 1: low = (k-1)//2, high = k-1-low.
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        xp = jnp.pad(
+            x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0))
+        )
+        h, w = x.shape[1], x.shape[2]
+        y = None
+        for i in range(kh):
+            for j in range(kw):
+                t = xp[:, i : i + h, j : j + w, :] * kernel[i, j, 0]
+                y = t if y is None else y + t
+        return y if bias is None else y + bias
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm semantics: rescale by keep prob)."""
 

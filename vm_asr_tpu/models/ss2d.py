@@ -30,7 +30,7 @@ import numpy as np
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from ..ops import cross_merge, cross_scan, selective_scan
-from .layers import LayerNorm, get_activation, torch_bias_init, torch_linear_init, trunc_normal_init
+from .layers import DepthwiseConv2d, LayerNorm, get_activation, torch_bias_init, torch_linear_init, trunc_normal_init
 
 
 def _constrain_directions(xs: jnp.ndarray) -> jnp.ndarray:
@@ -137,11 +137,11 @@ class SS2D(nn.Module):
                 z = act(z)
 
         if self.d_conv > 1:
-            xs2d = nn.Conv(
+            # DepthwiseConv2d, not nn.Conv: GSPMD doubles the grouped-conv
+            # kernel grad under dp×mp meshes (see models/layers.py).
+            xs2d = DepthwiseConv2d(
                 d_inner,
                 kernel_size=(self.d_conv, self.d_conv),
-                padding="SAME",
-                feature_group_count=d_inner,
                 use_bias=self.conv_bias,
                 kernel_init=torch_linear_init,
                 bias_init=torch_bias_init(self.d_conv * self.d_conv),
@@ -198,9 +198,8 @@ class SS2D(nn.Module):
         y = y.reshape(b, h, w, d_inner)
         if self.out_norm == "dwconv3":
             # depthwise 3×3 "norm" variant (reference vmamba.py:748-752)
-            y = nn.Conv(
-                d_inner, kernel_size=(3, 3), padding="SAME",
-                feature_group_count=d_inner, use_bias=False,
+            y = DepthwiseConv2d(
+                d_inner, kernel_size=(3, 3), use_bias=False,
                 kernel_init=torch_linear_init, dtype=self.dtype,
                 name="out_norm_dwconv",
             )(y)
