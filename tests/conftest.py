@@ -22,6 +22,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is compile-bound (40-55 min
+# cold, VERDICT r04 item 7); warm repeat runs skip the GSPMD CPU compiles.
+# JAX's cache writes atomically, so xdist workers share it safely.
+from vm_asr_tpu.core.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import numpy as np
 import pytest
 
