@@ -236,10 +236,27 @@ def state_dict_to_flax(
 def load_torch_checkpoint(path: str, dtype: Any = jnp.float32) -> Dict[str, Any]:
     """Load a reference ``checkpoint-*-G.pth`` (base_trainer.py:130-179
     layout: {name, epoch, state_dict, optimizer, monitor_best, config})
-    and return the converted flax params tree."""
+    and return the converted flax params tree.
+
+    Only the ``state_dict`` tensors are ever used, so the safe
+    ``weights_only=True`` loader is tried first; a checkpoint whose header
+    pickles arbitrary objects (the reference embeds its config object) falls
+    back to a full unpickle — which EXECUTES code from the file — only after
+    a loud warning. Load full-pickle checkpoints you trust, nothing else."""
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"{path}: not loadable with weights_only=True; falling back to "
+            "full unpickling, which can execute arbitrary code from the "
+            "checkpoint file. Only do this with checkpoints you trust.",
+            stacklevel=2,
+        )
+        blob = torch.load(path, map_location="cpu", weights_only=False)
     sd = blob["state_dict"] if isinstance(blob, dict) and "state_dict" in blob else blob
     return state_dict_to_flax(sd, dtype=dtype)
 

@@ -233,15 +233,29 @@ def get_loaders(config, logger=None, dataset=None):
                 "wav48_silence_trimmed",
             )
             if os.path.isdir(flac_root):
-                if logger:
-                    logger.info(
-                        "Trimmed wav files not found — converting flac to wav "
-                        f"({flac_root} → {root})"
+                # Multi-host: only process 0 converts (per-file writes are
+                # atomic, but N hosts converting the same 44k files at once
+                # is wasteful); the rest wait on a done-marker.
+                import time as _time
+
+                import jax as _jax
+
+                done_marker = root.rstrip("/") + ".converted"
+                if _jax.process_index() == 0:
+                    if logger:
+                        logger.info(
+                            "Trimmed wav files not found — converting flac "
+                            f"to wav ({flac_root} → {root})"
+                        )
+                    convert_flac_corpus(
+                        flac_root, root, config.DATA.FLAC2WAV.TIMESTAMPS,
+                        mic_id=config.DATA.MIC_ID,
                     )
-                convert_flac_corpus(
-                    flac_root, root, config.DATA.FLAC2WAV.TIMESTAMPS,
-                    mic_id=config.DATA.MIC_ID,
-                )
+                    with open(done_marker, "w") as f:
+                        f.write("ok\n")
+                else:
+                    while not os.path.exists(done_marker):
+                        _time.sleep(5.0)
         dataset = VCTKDataset(
             root,
             training=training,

@@ -111,7 +111,12 @@ def convert_flac_corpus(
             mono = audio[0] if audio.ndim == 2 else audio
             mono = trim_silence(mono, sr, labels.get(utt))
             os.makedirs(dst_dir, exist_ok=True)
-            save_wav(dst, mono, sr)
+            # Atomic publish: write to a per-process temp name, then rename —
+            # a concurrent converter's skip-existing check can never observe
+            # a half-written wav (it sees either nothing or the final file).
+            tmp = f"{dst}.tmp{os.getpid()}"
+            save_wav(tmp, mono, sr)
+            os.replace(tmp, dst)
             written += 1
     return written
 

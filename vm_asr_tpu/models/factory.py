@@ -58,12 +58,19 @@ def get_model(config) -> Dict[str, Any]:
     """Build {"generator": …, "mpd"?: …, "msd"?: …} from the run config."""
     v = config.MODEL.VSSM
     compute_dtype = _DTYPES[config.DTYPE.COMPUTE] if config.AMP_ENABLE else jnp.float32
-    if bool(v.get("SCAN_FP32_IO", False)):
-        # Trace-time global (like VM_ASR_SCAN_BWD): set before any jit of
-        # this model. Reference force_fp32 semantics, vmamba.py:842-848.
-        from ..ops.scan_api import set_scan_fp32_io
+    # Trace-time global (like VM_ASR_SCAN_BWD): set before any jit of this
+    # model. Reference force_fp32 semantics, vmamba.py:842-848. Set
+    # unconditionally so a prior True (an earlier get_model in the same
+    # process) can't leak into later models; an explicit
+    # VM_ASR_SCAN_FP32_IO=1 env override still wins.
+    import os as _os
 
-        set_scan_fp32_io(True)
+    from ..ops.scan_api import set_scan_fp32_io
+
+    set_scan_fp32_io(
+        bool(v.get("SCAN_FP32_IO", False))
+        or _os.environ.get("VM_ASR_SCAN_FP32_IO", "0") == "1"
+    )
     kwargs = _generator_kwargs(config)
 
     name = config.MODEL.NAME

@@ -122,14 +122,19 @@ def make_train_step(
         loss = L.discriminator_loss(y_r, y_g, gan_type)
         if gan_type == "wgan-gp":
             # Gradient penalty on interpolates (reference trainer.py:374-378 +
-            # loss.py:237-260).
+            # loss.py:237-260). The penalty is taken w.r.t. D's ACTUAL input
+            # space: with DISC_INPUT_GAIN != 1 the endpoints are pre-scaled
+            # so the unit-gradient-norm target constrains D itself, not
+            # D∘gain (which would silently rescale GP_LAMBDA's Lipschitz
+            # target by the gain).
             def scores(x):
-                out = discriminators[name].apply(variables, x * disc_gain,
-                                                 None, update_stats=False)
+                out = discriminators[name].apply(variables, x, None,
+                                                 update_stats=False)
                 return out[0]
 
             loss = loss + L.gradient_penalty(
-                scores, y, fake, gp_rng, gp_weight=adv_cfg.GP_LAMBDA
+                scores, y * disc_gain, fake * disc_gain, gp_rng,
+                gp_weight=adv_cfg.GP_LAMBDA,
             )
         return loss, (new_stats, gaps)
 
