@@ -8,8 +8,9 @@ BASELINE.md). vs_baseline uses the reference's best (59.8).
 Line 2 = training real-time factor (audio-seconds trained per wall-second)
 for the flagship 48 kHz GAN config (MPD, batch 8, full jitted
 generator+discriminator step). The reference publishes no training
-wall-clock numbers; vs_baseline is relative to this repo's round-1 figure
-(~490× real-time, ROADMAP.md) so progression is visible across rounds.
+wall-clock numbers; vs_baseline is relative to this repo's first HONEST
+figure (round 4's 40.5× under the diff-D2H protocol) so progression is
+visible across rounds, plus a measured gen/STFT/MPD ms decomposition.
 
 Each metric is one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -32,6 +33,10 @@ import traceback
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from vm_asr_tpu.core.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()  # TPU executables also serialise; repeat runs skip compile
 
 V100_BEST_RTF_RECIPROCAL = 59.8
 
@@ -323,23 +328,20 @@ def bench_batched(generator, params, config, batch: int = 32, iters: int = 20):
     )
 
 
-ROUND1_TRAIN_RT = 490.0  # this repo's round-1 MPD training RT factor
+# First HONEST training figure (diff-D2H protocol, BENCH_r04). The previous
+# baseline (round-1's "490x") was proven in round 3 to be a tunnel-ack
+# artifact; comparing against it made honest numbers read as regressions
+# (VERDICT r04 item 4).
+R04_HONEST_TRAIN_RT = 40.545
 
 
-def bench_train(batch_size: int = 8, iters: int = 10):
-    """Full GAN training step (generator fwd+bwd+opt, MPD disc step)."""
+def _train_step_dt(config, batch_size: int, iters: int = 10) -> float:
+    """Median seconds/step of the jitted train step for ``config`` (honest
+    protocol: chained states, discarded warm-up burst, diff-D2H window)."""
     from vm_asr_tpu.data import DataPipeline, DegradingSampler, SyntheticVCTK
     from vm_asr_tpu.models import get_model
     from vm_asr_tpu.parallel import make_mesh, shard_batch
     from vm_asr_tpu.train.trainer import Trainer
-    from __graft_entry__ import _flagship_config
-
-    config = _flagship_config(batch_size=batch_size, gan=True)
-    config.OUTPUT = "/tmp/vm_asr_tpu_bench"
-    # Measure the optimized training configuration: fused decoder passes
-    # (MODEL.VSSM.FUSE_STREAMS — same per-sample math, fewer dispatches).
-    # Recorded in the metric line for lineage vs pre-r03 numbers.
-    config.MODEL.VSSM.FUSE_STREAMS = True
 
     models = get_model(config)
     ds = SyntheticVCTK(n_items=batch_size, sr=48000,
@@ -378,20 +380,49 @@ def bench_train(batch_size: int = 8, iters: int = 10):
         return (g, d, r)
 
     dt, _ = median_window_dt(step, (gen_state, disc_states, rng), iters=iters)
+    return dt
 
-    rt = batch_size * config.DATA.SEGMENT / dt
-    emit(
-        {
-            "metric": "train_rt_factor_48k_MPD_batch8",
-            "value": round(rt, 3),
-            "unit": "x_realtime",
-            # NOT reference-relative: the reference publishes no training
-            # wall-clock, so the baseline is this repo's own round-1 rate.
-            "vs_baseline": round(rt / ROUND1_TRAIN_RT, 3),
-            "baseline_is": "self_round1_490x",
-            "fuse_streams": True,
+
+def bench_train(batch_size: int = 8, iters: int = 10):
+    """Full GAN training step (generator fwd+bwd+opt, MPD disc step), plus a
+    measured decomposition: the same step with GAN off (gen+L1+STFT) and with
+    L1 only (gen) isolates the marginal ms of the STFT loss and of the MPD
+    (2 fwd + D step) by subtraction."""
+    from __graft_entry__ import _flagship_config
+
+    def cfg(gan=True, losses=None):
+        c = _flagship_config(batch_size=batch_size, gan=gan)
+        c.OUTPUT = "/tmp/vm_asr_tpu_bench"
+        # Measure the optimized training configuration: fused decoder passes
+        # (MODEL.VSSM.FUSE_STREAMS — same per-sample math, fewer dispatches).
+        c.MODEL.VSSM.FUSE_STREAMS = True
+        if losses is not None:
+            c.TRAIN.LOSSES.GEN = list(losses)
+        return c
+
+    dt = _train_step_dt(cfg(gan=True), batch_size, iters)
+    record = {
+        "metric": "train_rt_factor_48k_MPD_batch8",
+        "value": round(batch_size * 2.555 / dt, 3),
+        "unit": "x_realtime",
+        # NOT reference-relative: the reference publishes no training
+        # wall-clock, so the baseline is this repo's first honest figure.
+        "vs_baseline": round(batch_size * 2.555 / dt / R04_HONEST_TRAIN_RT, 3),
+        "baseline_is": "self_round4_honest_40.5x",
+        "ms_per_step": round(dt * 1e3, 1),
+        "fuse_streams": True,
+    }
+    try:
+        dt_nogan = _train_step_dt(cfg(gan=False), batch_size, iters)
+        dt_l1 = _train_step_dt(cfg(gan=False, losses=["l1"]), batch_size, iters)
+        record["decomposition_ms"] = {
+            "generator_fwd_bwd_opt": round(dt_l1 * 1e3, 1),
+            "multi_res_stft_loss": round((dt_nogan - dt_l1) * 1e3, 1),
+            "mpd_2fwd_plus_dstep": round((dt - dt_nogan) * 1e3, 1),
         }
-    )
+    except Exception:  # decomposition is best-effort; headline must survive
+        traceback.print_exc(file=sys.stderr)
+    emit(record)
 
 
 # TPU v5e (v5 lite): 819 GB/s HBM bandwidth per chip.
