@@ -60,12 +60,18 @@ def test_tester_csv_and_wavs(setup):
         log = tester.evaluate()
     finally:
         os.chdir(cwd)
-    for k in ("snr", "lsd", "lsd_hf", "lsd_lf", "rtf", "rtf_reciprocal"):
+    for k in ("snr", "lsd", "lsd_hf", "lsd_lf", "rtf", "rtf_reciprocal",
+              "rtf_compute", "rtf_compute_reciprocal"):
         assert k in log and np.isfinite(log[k])
     csv_path = tmp / "results_16kHz.csv"
     assert csv_path.exists()
     lines = csv_path.read_text().strip().splitlines()
-    assert lines[0] == "SAMPLE_RATE,SNR,LSD,LSD_HF,LSD_LF,RTF,RTF_RECIPROCAL"
+    # reference column prefix is byte-compatible; the compute-RTF
+    # decomposition (TEST.COMPUTE_RTF, VERDICT r04 item 8) appends after
+    assert lines[0] == (
+        "SAMPLE_RATE,SNR,LSD,LSD_HF,LSD_LF,RTF,RTF_RECIPROCAL"
+        ",RTF_COMPUTE,RTF_COMPUTE_RECIPROCAL"
+    )
     assert len(lines) == 2
     wavs = os.listdir(out_dir)
     assert any(w.endswith("_up.wav") for w in wavs)

@@ -296,6 +296,15 @@ def default_config() -> CfgNode:
     # TPU addition: period list is configurable (reference hardcodes
     # [2, 3, 5, 7, 11], discriminator.py:123)
     c.TRAIN.ADVERSARIAL.MPD_PERIODS = [2, 3, 5, 7, 11]
+    # TPU addition: run the period discriminators as ONE vmapped stack
+    # instead of 5 sequential conv stacks (loss-identical; see
+    # discriminator.StackedMultiPeriodDiscriminator). STACK_GROUPS
+    # partitions MPD_PERIODS in order into vmap groups ([] = one group of
+    # all periods); finer groups trade op count for less padded-FLOP waste.
+    # Keep False on dp×mp meshes (GSPMD grouped-conv kernel-grad bug — see
+    # the class docstring); production GAN training is dp-only.
+    c.TRAIN.ADVERSARIAL.MPD_STACKED = False
+    c.TRAIN.ADVERSARIAL.MPD_STACK_GROUPS = []
     c.TRAIN.ADVERSARIAL.MSD_HIDDEN = 128
     c.TRAIN.ADVERSARIAL.FEATURE_LOSS_LAMBDA = 100
     c.TRAIN.ADVERSARIAL.ONLY_FEATURE_LOSS = False
@@ -318,6 +327,11 @@ def default_config() -> CfgNode:
     c.TEST.RESULTS_DIR = "results"
     c.TEST.OVERLAP = 2000
     c.TEST.SAVE_RESULT = True
+    # TPU addition: append device-compute-only RTF columns to the results
+    # CSV (measured per XLA program, diff-D2H protocol) — separates
+    # framework speed from host↔device transport. Reference columns keep
+    # their exact order; these follow after (tester.COMPUTE_COLUMNS).
+    c.TEST.COMPUTE_RTF = True
     c.INFERENCE = CfgNode()
     c.INFERENCE.RESULTS_DIR = "results_inference"
     c.INFERENCE.OVERLAP = 2000

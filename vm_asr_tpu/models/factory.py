@@ -6,7 +6,11 @@ from typing import Any, Dict
 
 import jax.numpy as jnp
 
-from .discriminator import MultiPeriodDiscriminator, MultiScaleDiscriminator
+from .discriminator import (
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+    StackedMultiPeriodDiscriminator,
+)
 from .unet import (
     DualStreamInteractiveMambaUNet,
     DualStreamStackedMambaUNet,
@@ -94,11 +98,25 @@ def get_model(config) -> Dict[str, Any]:
         # Loss entry points upcast scores/feature-maps to fp32 (losses.py),
         # matching autocast's fp32-listed loss ops.
         if "mpd" in adv.DISCRIMINATORS:
-            models["mpd"] = MultiPeriodDiscriminator(
-                hidden=adv.MPD_HIDDEN,
-                periods=tuple(adv.get("MPD_PERIODS", [2, 3, 5, 7, 11])),
-                dtype=compute_dtype,
-            )
+            periods = tuple(adv.get("MPD_PERIODS", [2, 3, 5, 7, 11]))
+            if bool(adv.get("MPD_STACKED", False)):
+                # vmapped period stacks: one batched conv per layer per
+                # group instead of len(periods) sequential small convs —
+                # loss-identical (see StackedMultiPeriodDiscriminator).
+                raw_groups = adv.get("MPD_STACK_GROUPS", []) or None
+                models["mpd"] = StackedMultiPeriodDiscriminator(
+                    hidden=adv.MPD_HIDDEN,
+                    periods=periods,
+                    groups=tuple(tuple(g) for g in raw_groups)
+                    if raw_groups else None,
+                    dtype=compute_dtype,
+                )
+            else:
+                models["mpd"] = MultiPeriodDiscriminator(
+                    hidden=adv.MPD_HIDDEN,
+                    periods=periods,
+                    dtype=compute_dtype,
+                )
         if "msd" in adv.DISCRIMINATORS:
             models["msd"] = MultiScaleDiscriminator(
                 hidden=adv.get("MSD_HIDDEN", 128),

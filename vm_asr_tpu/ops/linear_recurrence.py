@@ -44,12 +44,18 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
-def _chunk_scan(a: jnp.ndarray, b: jnp.ndarray):
-    """Inclusive Hillis–Steele scan of (a, b) pairs along axis 0.
+# Two-level in-chunk scan experiment (VERDICT r04 item 5a): sub-chunk size
+# for the work-reduced scan, 0 = classic single-level Hillis–Steele. Read
+# ONCE at import (like VM_ASR_SCAN_BWD): the kernels are traced once and
+# cached under jit, so flip the env var before importing.
+import os as _os
 
-    Returns (P, S) where ``P_t = prod_{i<=t} a_i`` and ``S_t`` solves the
-    recurrence within the chunk with zero initial state.
-    """
+_SUBCHUNK = int(_os.environ.get("VM_ASR_SCAN_SUBCHUNK", "0"))
+
+
+def _chunk_scan_flat(a: jnp.ndarray, b: jnp.ndarray):
+    """Single-level inclusive Hillis–Steele scan along axis 0:
+    log2(chunk) full-size (5-op) VPU passes."""
     chunk = a.shape[0]
     p, s = a, b
     offset = 1
@@ -64,6 +70,64 @@ def _chunk_scan(a: jnp.ndarray, b: jnp.ndarray):
         p = p * p_shift
         offset *= 2
     return p, s
+
+
+def _chunk_scan_two_level(a: jnp.ndarray, b: jnp.ndarray, sub: int):
+    """Work-reduced inclusive scan: Hillis–Steele within `sub`-row blocks,
+    a tiny block-summary scan, then one broadcast combine.
+
+    The reshape (chunk, D) → (n_sub, sub, D) is row-major-identical (no
+    Mosaic relayout): block-local shifts concat along the sublane axis of
+    each (sub, D) tile, so no boundary masking is needed. Full-size VPU
+    passes drop from log2(chunk) to log2(sub) + ~3 — the Blelloch-style
+    work reduction VERDICT r04 item 5 asks to measure, in a layout the VPU
+    executes without strided gathers.
+    """
+    chunk, d = a.shape
+    n_sub = chunk // sub
+    a3 = a.reshape(n_sub, sub, d)
+    b3 = b.reshape(n_sub, sub, d)
+
+    # Phase A: local inclusive scan within every block (log2(sub) passes).
+    p, s = a3, b3
+    offset = 1
+    while offset < sub:
+        p_shift = jnp.concatenate(
+            [jnp.ones_like(p[:, :offset]), p[:, :-offset]], axis=1
+        )
+        s_shift = jnp.concatenate(
+            [jnp.zeros_like(s[:, :offset]), s[:, :-offset]], axis=1
+        )
+        s = s + p * s_shift
+        p = p * p_shift
+        offset *= 2
+
+    # Phase B: inclusive scan of the (n_sub, D) block summaries, then a
+    # one-block shift to make it exclusive. 1/sub-sized passes.
+    p_blk, s_blk = _chunk_scan_flat(p[:, sub - 1], s[:, sub - 1])
+    p_excl = jnp.concatenate(
+        [jnp.ones_like(p_blk[:1]), p_blk[:-1]], axis=0
+    )[:, None, :]
+    s_excl = jnp.concatenate(
+        [jnp.zeros_like(s_blk[:1]), s_blk[:-1]], axis=0
+    )[:, None, :]
+
+    # Phase C: combine (3 full-size passes).
+    s = s + p * s_excl
+    p = p * p_excl
+    return p.reshape(chunk, d), s.reshape(chunk, d)
+
+
+def _chunk_scan(a: jnp.ndarray, b: jnp.ndarray):
+    """Inclusive scan of (a, b) pairs along axis 0.
+
+    Returns (P, S) where ``P_t = prod_{i<=t} a_i`` and ``S_t`` solves the
+    recurrence within the chunk with zero initial state.
+    """
+    chunk = a.shape[0]
+    if _SUBCHUNK and chunk > _SUBCHUNK and chunk % _SUBCHUNK == 0:
+        return _chunk_scan_two_level(a, b, _SUBCHUNK)
+    return _chunk_scan_flat(a, b)
 
 
 def _lr_kernel(a_ref, b_ref, h_ref, carry):

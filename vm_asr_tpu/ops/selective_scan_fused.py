@@ -196,8 +196,8 @@ def _fused_fwd_pallas(u, dts, bs, cs, a_neg, dt_bias, d_skip, k_group,
     return y, ckpt
 
 
-def _chunk_scan_rev(a_next: jnp.ndarray, b: jnp.ndarray):
-    """Inclusive *reverse* Hillis–Steele scan along axis 0.
+def _chunk_scan_rev_flat(a_next: jnp.ndarray, b: jnp.ndarray):
+    """Single-level inclusive *reverse* Hillis–Steele scan along axis 0.
 
     Solves ``g_t = b_t + a_next_t · g_{t+1}`` (t descending) with zero final
     state: returns (P, S) where ``P_t = prod_{r>=t} a_next_r`` (the factor an
@@ -218,6 +218,51 @@ def _chunk_scan_rev(a_next: jnp.ndarray, b: jnp.ndarray):
         p = p * p_shift
         offset *= 2
     return p, s
+
+
+def _chunk_scan_rev_two_level(a_next: jnp.ndarray, b: jnp.ndarray, sub: int):
+    """Two-level reverse scan: the mirror of
+    linear_recurrence._chunk_scan_two_level (see its docstring) with the
+    block-local shifts and the summary scan running tail→head."""
+    chunk, d = a_next.shape
+    n_sub = chunk // sub
+    a3 = a_next.reshape(n_sub, sub, d)
+    b3 = b.reshape(n_sub, sub, d)
+
+    p, s = a3, b3
+    offset = 1
+    while offset < sub:
+        p_shift = jnp.concatenate(
+            [p[:, offset:], jnp.ones_like(p[:, :offset])], axis=1
+        )
+        s_shift = jnp.concatenate(
+            [s[:, offset:], jnp.zeros_like(s[:, :offset])], axis=1
+        )
+        s = s + p * s_shift
+        p = p * p_shift
+        offset *= 2
+
+    # Block summaries sit at each block's HEAD for a reverse scan.
+    p_blk, s_blk = _chunk_scan_rev_flat(p[:, 0], s[:, 0])
+    p_excl = jnp.concatenate(
+        [p_blk[1:], jnp.ones_like(p_blk[:1])], axis=0
+    )[:, None, :]
+    s_excl = jnp.concatenate(
+        [s_blk[1:], jnp.zeros_like(s_blk[:1])], axis=0
+    )[:, None, :]
+
+    s = s + p * s_excl
+    p = p * p_excl
+    return p.reshape(chunk, d), s.reshape(chunk, d)
+
+
+def _chunk_scan_rev(a_next: jnp.ndarray, b: jnp.ndarray):
+    from .linear_recurrence import _SUBCHUNK
+
+    chunk = a_next.shape[0]
+    if _SUBCHUNK and chunk > _SUBCHUNK and chunk % _SUBCHUNK == 0:
+        return _chunk_scan_rev_two_level(a_next, b, _SUBCHUNK)
+    return _chunk_scan_rev_flat(a_next, b)
 
 
 def _make_bwd_kernel(k_group: int, d_inner: int, d_tile: int, n_d: int):

@@ -238,15 +238,21 @@ def make_forward_fn(generator) -> Callable:
 _SEG_BUCKETS = (1, 2, 4, 8)
 
 
-def segment_buckets(num_segments: int):
-    """The bucket sizes a `num_segments`-segment clip runs through."""
-    used, i = set(), 0
+def segment_bucket_counts(num_segments: int):
+    """How many chunks of each bucket size a `num_segments`-segment clip
+    runs through (mirrors bucketed_forward's chunking exactly)."""
+    counts, i = {}, 0
     while i < num_segments:
         rem = min(num_segments - i, _SEG_BUCKETS[-1])
         b = next(x for x in _SEG_BUCKETS if x >= rem)
-        used.add(b)
+        counts[b] = counts.get(b, 0) + 1
         i += rem
-    return used
+    return counts
+
+
+def segment_buckets(num_segments: int):
+    """The bucket sizes a `num_segments`-segment clip runs through."""
+    return set(segment_bucket_counts(num_segments))
 
 
 def bucketed_forward(forward, params, seg_batch, hf_batch) -> Any:

@@ -25,9 +25,20 @@ from ..core.tracker import MetricTracker
 from ..data.vctk import save_wav
 from ..dsp import fold_audio, num_segments, unfold_audio
 from ..metrics import get_metrics
-from .steps import bucketed_forward, make_forward_fn, segment_buckets
+from .steps import (
+    bucketed_forward,
+    make_forward_fn,
+    segment_bucket_counts,
+    segment_buckets,
+)
 
 CSV_COLUMNS = ["sample_rate", "snr", "lsd", "lsd_hf", "lsd_lf", "rtf", "rtf_reciprocal"]
+# Appended AFTER the reference's columns (prefix parity preserved) when
+# TEST.COMPUTE_RTF is on: the per-clip wall RTF through a dev tunnel is
+# H2D-dominated (~10x worse than the same chip on local PCIe — ROADMAP), so
+# the CSV also records the device-compute-only RTF, measured per XLA program
+# with the diff-D2H protocol (VERDICT r04 item 8).
+COMPUTE_COLUMNS = ["rtf_compute", "rtf_compute_reciprocal"]
 
 
 class Tester:
@@ -48,6 +59,13 @@ class Tester:
         self.forward = make_forward_fn(generator)
         self.metric_fns = get_metrics(config.TRAIN.METRICS)
         self.metrics = MetricTracker()
+        # Compute-only RTF decomposition (VERDICT r04 item 8): per-XLA-program
+        # device-resident seconds, measured once at warm-up with the
+        # differential D2H-anchored protocol. Separates the framework's own
+        # speed from host↔device transport (which dominates the wall RTF on
+        # a dev tunnel but is ~µs on a TPU VM's local PCIe).
+        self.compute_rtf = bool(config.TEST.get("COMPUTE_RTF", True))
+        self._program_dt: Dict = {}
 
     def _num_segments(self, t: int) -> int:
         # Shared with unfold_audio so the warm-up program keys can never
@@ -61,6 +79,30 @@ class Tester:
         if t <= self.num_frames_per_seg:
             return {shape}
         return segment_buckets(self._num_segments(t))
+
+    def _measure_program_dt(self, key, iters: int = 4) -> float:
+        """Device-resident seconds per execution of one XLA program (a
+        bucket size, or a raw single-segment shape), via
+        profiling.median_window_dt — the forward chains on its own output
+        (same shape), so every timed execution is distinct."""
+        from ..core.profiling import median_window_dt
+
+        shape = key if isinstance(key, tuple) else (
+            key, 1, self.num_frames_per_seg)
+        x = jnp.zeros(shape, jnp.float32)
+        hf = jnp.full((shape[0],), self.target_sr // 4, jnp.int32)
+        dt, _ = median_window_dt(
+            lambda s: self.forward(self.params, s, hf), x, iters=iters)
+        return dt
+
+    def _compute_seconds(self, shape) -> float:
+        """Predicted device-compute seconds for a clip of this shape from
+        the measured per-program times (mirrors bucketed_forward)."""
+        t = shape[-1]
+        if t <= self.num_frames_per_seg:
+            return self._program_dt[shape]
+        return sum(self._program_dt[b] * n for b, n in
+                   segment_bucket_counts(self._num_segments(t)).items())
 
     def _forward_chunked(self, x: jnp.ndarray, hf: jnp.ndarray) -> jnp.ndarray:
         """Segment-batched chunked inference (reference tester.py:106-140),
@@ -99,6 +141,9 @@ class Tester:
                     jnp.asarray(batch.wave_input),
                     jnp.asarray(batch.highcut),
                 ).block_until_ready()
+                if self.compute_rtf:
+                    for key in keys - warmed_programs:
+                        self._program_dt[key] = self._measure_program_dt(key)
                 warmed_programs |= keys
             x = jnp.asarray(batch.wave_input)
             y = jnp.asarray(batch.wave_target)
@@ -123,6 +168,11 @@ class Tester:
             }
             vals["rtf"] = rtf
             vals["rtf_reciprocal"] = 1.0 / rtf
+            if self.compute_rtf:
+                rtf_c = (self._compute_seconds(batch.wave_input.shape)
+                         / max(audio_seconds, 1e-9))
+                vals["rtf_compute"] = rtf_c
+                vals["rtf_compute_reciprocal"] = 1.0 / rtf_c
             if "lsd" in self.metric_fns:
                 # The floor-to-beat: LSD of the *degraded input* against the
                 # target. Logged (not CSV — column parity with the reference)
@@ -164,8 +214,11 @@ class Tester:
     @staticmethod
     def save_results_to_csv(results: Dict[str, float], filename: str) -> None:
         """Append a row with the reference's column order
-        (reference tester.py:221-240)."""
-        row = {k: results[k] for k in CSV_COLUMNS}
+        (reference tester.py:221-240); the compute-RTF decomposition
+        columns, when measured, follow AFTER so the reference's prefix is
+        byte-compatible."""
+        cols = CSV_COLUMNS + [c for c in COMPUTE_COLUMNS if c in results]
+        row = {k: results[k] for k in cols}
         exists = os.path.isfile(filename)
         with open(filename, "a", newline="") as f:
             writer = csv.writer(f)
