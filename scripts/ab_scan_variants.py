@@ -23,7 +23,8 @@ import jax, jax.numpy as jnp
 
 chunk = int(sys.argv[1])
 iters = int(sys.argv[2])
-sub = int(os.environ.get("VM_ASR_SCAN_SUBCHUNK", "0"))
+from vm_asr_tpu.ops import linear_recurrence as _lr
+sub_fwd, sub_bwd = _lr._SUBCHUNK_FWD, _lr._SUBCHUNK_BWD
 
 from vm_asr_tpu.core.profiling import median_window_dt
 from vm_asr_tpu.ops.selective_scan_fused import (
@@ -55,7 +56,7 @@ def bwd_chained(u_, dts_, bs_):
                                      a_neg, bias, dsk, k, chunk=chunk)
     return du, bs_ + (1e-6 * du.mean()).astype(bs_.dtype)
 
-out = {"chunk": chunk, "sub": sub}
+out = {"chunk": chunk, "sub_fwd": sub_fwd, "sub_bwd": sub_bwd}
 for name, fn in (("fwd", fwd_chained), ("fwd_bwd", bwd_chained)):
     y, cur = fn(u, dts, bs)
     jax.block_until_ready(y)
@@ -74,38 +75,48 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--chunks", type=str, default="")
-    ap.add_argument("--subs", type=str, default="")
+    ap.add_argument("--subs", type=str, default="",
+                    help="shared fwd=bwd sub sizes, e.g. 0,16,32")
+    ap.add_argument("--combos", type=str, default="",
+                    help="explicit fwd:bwd pairs, e.g. 16:0,16:32,0:32")
     args = ap.parse_args()
 
     chunks = ([int(c) for c in args.chunks.split(",")] if args.chunks
               else ([256, 512] if args.quick else [64, 128, 256, 512, 1024]))
-    subs = ([int(s) for s in args.subs.split(",")] if args.subs
-            else ([0, 32] if args.quick else [0, 8, 16, 32, 64]))
+    if args.combos:
+        combos = [tuple(int(x) for x in c.split(":"))
+                  for c in args.combos.split(",")]
+    else:
+        subs = ([int(s) for s in args.subs.split(",")] if args.subs
+                else ([0, 32] if args.quick else [0, 8, 16, 32, 64]))
+        combos = [(s, s) for s in subs]
 
     results = []
     for chunk in chunks:
-        for sub in subs:
-            if sub and sub >= chunk:
+        for sub_fwd, sub_bwd in combos:
+            if max(sub_fwd, sub_bwd) >= chunk:
                 continue
             env = dict(os.environ)
-            if sub:
-                env["VM_ASR_SCAN_SUBCHUNK"] = str(sub)
-            else:
-                env.pop("VM_ASR_SCAN_SUBCHUNK", None)
+            env.pop("VM_ASR_SCAN_SUBCHUNK", None)
+            env["VM_ASR_SCAN_SUBCHUNK_FWD"] = str(sub_fwd)
+            env["VM_ASR_SCAN_SUBCHUNK_BWD"] = str(sub_bwd)
             try:
                 p = subprocess.run(
                     [sys.executable, "-c", CHILD, str(chunk),
                      str(args.iters)],
-                    env=env, capture_output=True, text=True, timeout=900,
+                    env=env, capture_output=True, text=True,
+                    timeout=int(os.environ.get(
+                        "VM_ASR_AB_CHILD_TIMEOUT", "900")),
                 )
             except subprocess.TimeoutExpired:
-                print(json.dumps({"chunk": chunk, "sub": sub,
-                                  "error": "timeout"}))
+                print(json.dumps({"chunk": chunk, "sub_fwd": sub_fwd,
+                                  "sub_bwd": sub_bwd, "error": "timeout"}))
                 continue
             line = next((ln for ln in p.stdout.splitlines()
                          if ln.startswith("RESULT ")), None)
             if line is None:
-                print(json.dumps({"chunk": chunk, "sub": sub,
+                print(json.dumps({"chunk": chunk, "sub_fwd": sub_fwd,
+                                  "sub_bwd": sub_bwd,
                                   "error": p.stderr[-500:]}))
                 continue
             rec = json.loads(line[len("RESULT "):])

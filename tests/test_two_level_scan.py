@@ -43,18 +43,27 @@ def test_two_level_reverse_matches(sub, rng):
     np.testing.assert_allclose(s0, s1, rtol=2e-5, atol=1e-5)
 
 
-def test_fused_kernel_with_subchunk_env():
-    """Fused fwd+bwd (interpret) under VM_ASR_SCAN_SUBCHUNK=32 matches the
-    XLA-replay reference — run in a subprocess so the import-time knob and
-    jit caches are isolated."""
+@pytest.mark.parametrize("knobs,expect", [
+    # legacy shared knob sets both
+    ({"VM_ASR_SCAN_SUBCHUNK": "32"}, (32, 32)),
+    # the production split: two-level fwd, two-level bwd at different sizes
+    ({"VM_ASR_SCAN_SUBCHUNK_FWD": "16", "VM_ASR_SCAN_SUBCHUNK_BWD": "32"},
+     (16, 32)),
+    # two-level fwd only, flat bwd
+    ({"VM_ASR_SCAN_SUBCHUNK_FWD": "16"}, (16, 0)),
+])
+def test_fused_kernel_with_subchunk_env(knobs, expect):
+    """Fused fwd+bwd (interpret) under the two-level scan env knobs matches
+    the XLA-replay reference — run in a subprocess so the import-time knobs
+    and jit caches are isolated."""
     code = r"""
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np, jax.numpy as jnp
-from vm_asr_tpu.ops.linear_recurrence import _SUBCHUNK
-assert _SUBCHUNK == 32, _SUBCHUNK
+from vm_asr_tpu.ops.linear_recurrence import _SUBCHUNK_FWD, _SUBCHUNK_BWD
+assert (_SUBCHUNK_FWD, _SUBCHUNK_BWD) == EXPECT, (_SUBCHUNK_FWD, _SUBCHUNK_BWD)
 from vm_asr_tpu.ops.selective_scan_fused import selective_scan_fused, _fused_bwd_xla, _fused_fwd
 
 r = np.random.default_rng(0)
@@ -81,7 +90,12 @@ for g, rg in zip(grads, ref):
                                rtol=5e-4, atol=5e-4)
 print("OK")
 """
-    env = dict(os.environ, VM_ASR_SCAN_SUBCHUNK="32", JAX_PLATFORMS="cpu")
+    code = code.replace("EXPECT", repr(expect))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    for k in ("VM_ASR_SCAN_SUBCHUNK", "VM_ASR_SCAN_SUBCHUNK_FWD",
+              "VM_ASR_SCAN_SUBCHUNK_BWD"):
+        env.pop(k, None)
+    env.update(knobs)
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-3000:]

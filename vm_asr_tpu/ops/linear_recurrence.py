@@ -44,13 +44,26 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
-# Two-level in-chunk scan experiment (VERDICT r04 item 5a): sub-chunk size
-# for the work-reduced scan, 0 = classic single-level Hillis–Steele. Read
-# ONCE at import (like VM_ASR_SCAN_BWD): the kernels are traced once and
-# cached under jit, so flip the env var before importing.
+# Two-level in-chunk scan (VERDICT r04 item 5a): sub-chunk size for the
+# work-reduced scan, 0 = classic single-level Hillis–Steele. Read ONCE at
+# import (like VM_ASR_SCAN_BWD): the kernels are traced once and cached
+# under jit, so flip the env vars before importing.
+#
+# The knob is split between the forward kernel's scan and the backward
+# kernel's (in-chunk rescan + reverse adjoint scan): the r5 v5e sweep at
+# the production stage-0 shape (8,16384,128) bf16 found different optima —
+# see scripts/ab_scan_variants.py and ROADMAP "Round-5". VM_ASR_SCAN_SUBCHUNK
+# still sets both (the legacy A/B surface); the _FWD/_BWD variants override.
 import os as _os
 
-_SUBCHUNK = int(_os.environ.get("VM_ASR_SCAN_SUBCHUNK", "0"))
+_SUBCHUNK = _os.environ.get("VM_ASR_SCAN_SUBCHUNK")
+_SUBCHUNK_FWD = int(
+    _os.environ.get("VM_ASR_SCAN_SUBCHUNK_FWD", _SUBCHUNK or "0")
+)
+_SUBCHUNK_BWD = int(
+    _os.environ.get("VM_ASR_SCAN_SUBCHUNK_BWD", _SUBCHUNK or "0")
+)
+_SUBCHUNK = int(_SUBCHUNK or "0")
 
 
 def _chunk_scan_flat(a: jnp.ndarray, b: jnp.ndarray):
@@ -118,15 +131,19 @@ def _chunk_scan_two_level(a: jnp.ndarray, b: jnp.ndarray, sub: int):
     return p.reshape(chunk, d), s.reshape(chunk, d)
 
 
-def _chunk_scan(a: jnp.ndarray, b: jnp.ndarray):
+def _chunk_scan(a: jnp.ndarray, b: jnp.ndarray, sub: int | None = None):
     """Inclusive scan of (a, b) pairs along axis 0.
 
     Returns (P, S) where ``P_t = prod_{i<=t} a_i`` and ``S_t`` solves the
-    recurrence within the chunk with zero initial state.
+    recurrence within the chunk with zero initial state. ``sub`` picks the
+    two-level block size (None → the forward knob; callers on the backward
+    path pass ``_SUBCHUNK_BWD`` explicitly).
     """
+    if sub is None:
+        sub = _SUBCHUNK_FWD
     chunk = a.shape[0]
-    if _SUBCHUNK and chunk > _SUBCHUNK and chunk % _SUBCHUNK == 0:
-        return _chunk_scan_two_level(a, b, _SUBCHUNK)
+    if sub and chunk > sub and chunk % sub == 0:
+        return _chunk_scan_two_level(a, b, sub)
     return _chunk_scan_flat(a, b)
 
 

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .linear_recurrence import _chunk_scan, _lr_impl
+from .linear_recurrence import _SUBCHUNK_BWD, _chunk_scan, _lr_impl
 
 
 # Backward-path selector, read ONCE at import: the custom_vjp backward is
@@ -257,11 +257,10 @@ def _chunk_scan_rev_two_level(a_next: jnp.ndarray, b: jnp.ndarray, sub: int):
 
 
 def _chunk_scan_rev(a_next: jnp.ndarray, b: jnp.ndarray):
-    from .linear_recurrence import _SUBCHUNK
-
     chunk = a_next.shape[0]
-    if _SUBCHUNK and chunk > _SUBCHUNK and chunk % _SUBCHUNK == 0:
-        return _chunk_scan_rev_two_level(a_next, b, _SUBCHUNK)
+    if (_SUBCHUNK_BWD and chunk > _SUBCHUNK_BWD
+            and chunk % _SUBCHUNK_BWD == 0):
+        return _chunk_scan_rev_two_level(a_next, b, _SUBCHUNK_BWD)
     return _chunk_scan_rev_flat(a_next, b)
 
 
@@ -303,8 +302,10 @@ def _make_bwd_kernel(k_group: int, d_inner: int, d_tile: int, n_d: int):
         a = jnp.exp(dt * a_ref[0])
         # Recompute h within the chunk from its entry checkpoint (the ckpt
         # block spans all n_l rows; one-hot reduce instead of a dynamic
-        # sublane read — Mosaic's dynamic-index path is slow).
-        p, s = _chunk_scan(a, dt * u * bvec)
+        # sublane read — Mosaic's dynamic-index path is slow). The rescan
+        # follows the BACKWARD subchunk knob: it executes inside the bwd
+        # kernel, whose optimum differs from the fwd kernel's (ROADMAP r5).
+        p, s = _chunk_scan(a, dt * u * bvec, sub=_SUBCHUNK_BWD)
         n_l = pl.num_programs(1)
         row = jax.lax.broadcasted_iota(jnp.int32, (n_l, 1), 0)
         h0 = jnp.sum(
