@@ -23,7 +23,11 @@ import jax, jax.numpy as jnp
 
 chunk = int(sys.argv[1])
 iters = int(sys.argv[2])
-from vm_asr_tpu.ops import linear_recurrence as _lr
+import importlib
+# sys.modules lookup: the ops package rebinds the `linear_recurrence`
+# attribute to its same-named custom_vjp function, so plain imports get
+# the function, not the module.
+_lr = importlib.import_module("vm_asr_tpu.ops.linear_recurrence")
 sub_fwd, sub_bwd = _lr._SUBCHUNK_FWD, _lr._SUBCHUNK_BWD
 
 from vm_asr_tpu.core.profiling import median_window_dt
