@@ -51,6 +51,8 @@ def test_two_level_reverse_matches(sub, rng):
      (16, 32)),
     # two-level fwd only, flat bwd
     ({"VM_ASR_SCAN_SUBCHUNK_FWD": "16"}, (16, 0)),
+    # the production default (no env): fwd 16 / bwd flat, per the r5 sweep
+    ({}, (16, 0)),
 ])
 def test_fused_kernel_with_subchunk_env(knobs, expect):
     """Fused fwd+bwd (interpret) under the two-level scan env knobs matches

@@ -51,14 +51,19 @@ def _round_up(x: int, m: int) -> int:
 #
 # The knob is split between the forward kernel's scan and the backward
 # kernel's (in-chunk rescan + reverse adjoint scan): the r5 v5e sweep at
-# the production stage-0 shape (8,16384,128) bf16 found different optima —
-# see scripts/ab_scan_variants.py and ROADMAP "Round-5". VM_ASR_SCAN_SUBCHUNK
-# still sets both (the legacy A/B surface); the _FWD/_BWD variants override.
+# the production stage-0 shape (8,16384,128) bf16 found different optima
+# (scripts/ab_scan_variants.py, artifacts/ab_r5/README.md): forward
+# sub=16 measures 0.284 ms vs 0.492 flat (42% faster — the (16,128)
+# blocks shift within two native (8,128) VPU sublane groups), while the
+# backward's two scans LOSE at every sub tried (sub16 1.27 ms vs 0.909
+# flat). Production defaults follow the measurements: fwd 16, bwd 0.
+# VM_ASR_SCAN_SUBCHUNK still sets both (the legacy A/B surface); the
+# _FWD/_BWD variants override.
 import os as _os
 
 _SUBCHUNK = _os.environ.get("VM_ASR_SCAN_SUBCHUNK")
 _SUBCHUNK_FWD = int(
-    _os.environ.get("VM_ASR_SCAN_SUBCHUNK_FWD", _SUBCHUNK or "0")
+    _os.environ.get("VM_ASR_SCAN_SUBCHUNK_FWD", _SUBCHUNK or "16")
 )
 _SUBCHUNK_BWD = int(
     _os.environ.get("VM_ASR_SCAN_SUBCHUNK_BWD", _SUBCHUNK or "0")
